@@ -1,0 +1,11 @@
+from .sketch_build import build_sketch_distributed, build_sketch_checkpointed, merge_blob_bytes
+from .motif import enriched_configurations, build_motif_cms, motif_summary
+
+__all__ = [
+    "build_sketch_distributed",
+    "build_sketch_checkpointed",
+    "merge_blob_bytes",
+    "enriched_configurations",
+    "build_motif_cms",
+    "motif_summary",
+]

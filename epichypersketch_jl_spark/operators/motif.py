@@ -1,0 +1,217 @@
+"""The motif pipeline — Spark-native equivalent of the reference's
+`obtain_enriched_configurations` (src/count_gpu_extract.jl:203-250) and its
+partitioned variant (src/partition.jl:253-345).
+
+Plan shape:
+
+    input DataFrame (doc_id, tokens[, positions, weights], n_tok, source)
+      └─ filter(n_tok >= k)                       # Catalyst, pushed to scan
+      └─ mapInArrow(build kernel)  ── no shuffle ─→ one CMS blob per task
+      └─ treeReduce(+)                            # fixed-size blobs only
+      └─ broadcast(merged CMS)
+      └─ mapInArrow(extract kernel) ── no shuffle ─→ occurrence rows
+           (m1..mk[, d12.., start, end], doc_id, contribution, count)
+
+Because selection runs against the fully merged global sketch, the
+reference's cross-partition under-count caveat (src/partition.jl:271-287,
+"use min_count=1 and post-filter") does not apply here.
+
+Output columns follow SURVEY.md §1.2's adjudication: the sequence-ID column
+is named `doc_id` (the reference wavers between data_pt_index / data_index),
+and the CMS estimate is emitted as `count` (the README promises it but no
+reference extraction path emits it).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import HyperSketchConfig
+from ..errors import InputError
+from ..functions.motif_kernels import (
+    build_batch,
+    extract_batch,
+    list_column_to_numpy,
+    make_cms,
+)
+from ..sketches.cms import CountMinSketch
+from .sketch_build import build_sketch_checkpointed, build_sketch_distributed
+
+
+def _is_conv(df: DataFrame, cfg: HyperSketchConfig) -> bool:
+    """Mode inference: presence of the positions column (the Spark analog of
+    the reference's NamedTuple-schema dispatch, src/record.jl:215-231)."""
+    return cfg.positions_col in df.columns
+
+
+def _prepared(df: DataFrame, cfg: HyperSketchConfig, conv: bool, with_weights: bool) -> DataFrame:
+    cols = [cfg.doc_id_col, cfg.tokens_col]
+    if conv:
+        cols.append(cfg.positions_col)
+    if with_weights and cfg.weights_col in df.columns:
+        cols.append(cfg.weights_col)
+    # column pruning + the empty/short-sequence filter (src/record.jl:248-252),
+    # both pushed into the scan by Catalyst.
+    return df.select(*cols).filter(F.size(F.col(cfg.tokens_col)) >= cfg.motif_size)
+
+
+def _make_update_fn(cfg: HyperSketchConfig, conv: bool):
+    def update(sk: CountMinSketch, batch: pa.RecordBatch, stats: dict) -> None:
+        tok_flat, offsets = list_column_to_numpy(batch.column(cfg.tokens_col))
+        pos_flat = None
+        if conv:
+            pos_flat, _ = list_column_to_numpy(batch.column(cfg.positions_col))
+        before = sk.n_updates
+        build_batch(sk, tok_flat, offsets, cfg, positions_flat=pos_flat)
+        stats["n_rows"] += batch.num_rows
+        stats["n_tokens"] += len(tok_flat)
+        stats["n_updates"] += sk.n_updates - before
+
+    return update
+
+
+def build_motif_cms(
+    df: DataFrame,
+    cfg: HyperSketchConfig,
+    *,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 64,
+) -> tuple[CountMinSketch, list[dict]]:
+    """Phase 1+2: partition-local CMS build + associative merge."""
+    conv = _is_conv(df, cfg)
+    prepared = _prepared(df, cfg, conv, with_weights=False)
+    zero = lambda: make_cms(cfg, conv)  # noqa: E731
+    update = _make_update_fn(cfg, conv)
+    if checkpoint_dir:
+        return build_sketch_checkpointed(
+            prepared,
+            zero,
+            update,
+            checkpoint_dir=checkpoint_dir,
+            n_buckets=n_buckets,
+            doc_id_col=cfg.doc_id_col,
+        )
+    return build_sketch_distributed(prepared, zero, update)
+
+
+def _extract_schema(df: DataFrame, cfg: HyperSketchConfig, conv: bool) -> StructType:
+    k = cfg.motif_size
+    tok_field = df.schema[cfg.tokens_col].dataType.elementType
+    fields = [StructField(f"m{i+1}", tok_field, False) for i in range(k)]
+    if conv:
+        fields += [
+            StructField(f"d{i+1}{i+2}", IntegerType(), False) for i in range(k - 1)
+        ]
+        fields += [
+            StructField("start", IntegerType(), False),
+            StructField("end", IntegerType(), False),
+        ]
+    fields += [
+        df.schema[cfg.doc_id_col],
+        StructField("contribution", DoubleType(), False),
+        StructField("count", LongType(), False),
+    ]
+    return StructType(fields)
+
+
+def enriched_configurations(
+    df: DataFrame,
+    cfg: HyperSketchConfig,
+    *,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 64,
+    cms: CountMinSketch | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Full pipeline; returns the occurrence DataFrame (lazy).
+
+    A pre-built `cms` may be passed to skip the build phase (e.g. loaded from
+    a checkpoint).
+    """
+    if validate and df.isEmpty():
+        raise InputError("input DataFrame is empty")  # src/errors.jl:37-47
+    conv = _is_conv(df, cfg)
+    if cms is None:
+        cms, _metrics = build_motif_cms(
+            df, cfg, checkpoint_dir=checkpoint_dir, n_buckets=n_buckets
+        )
+
+    spark = df.sparkSession
+    blob_bc = spark.sparkContext.broadcast(cms.to_bytes())
+    prepared = _prepared(df, cfg, conv, with_weights=True)
+    schema = _extract_schema(df, cfg, conv)
+    k = cfg.motif_size
+    tok_col, pos_col, w_col, id_col = (
+        cfg.tokens_col,
+        cfg.positions_col,
+        cfg.weights_col,
+        cfg.doc_id_col,
+    )
+    has_weights = w_col in prepared.columns
+
+    def extract_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import from_bytes as _fb
+
+        local_cms = _fb(blob_bc.value)
+        for batch in batches:
+            tok_flat, offsets = list_column_to_numpy(batch.column(tok_col))
+            pos_flat = None
+            w_flat = None
+            if conv:
+                pos_flat, _ = list_column_to_numpy(batch.column(pos_col))
+            if has_weights:
+                w_flat, _ = list_column_to_numpy(batch.column(w_col))
+                w_flat = w_flat.astype(np.float64)
+            out = extract_batch(
+                local_cms, tok_flat, offsets, cfg, positions_flat=pos_flat, weights_flat=w_flat
+            )
+            if not out.row_idx:
+                continue
+            motifs = np.concatenate(out.motifs)  # (m, k)
+            rows = np.concatenate(out.row_idx)
+            cols: dict[str, pa.Array] = {}
+            tok_np_dtype = tok_flat.dtype
+            for i in range(k):
+                cols[f"m{i+1}"] = pa.array(motifs[:, i].astype(tok_np_dtype))
+            if conv:
+                gaps = np.concatenate(out.gaps)
+                for i in range(k - 1):
+                    cols[f"d{i+1}{i+2}"] = pa.array(gaps[:, i].astype(np.int32))
+                cols["start"] = pa.array(np.concatenate(out.starts).astype(np.int32))
+                cols["end"] = pa.array(np.concatenate(out.ends).astype(np.int32))
+            cols[id_col] = pc.take(batch.column(id_col), pa.array(rows))
+            cols["contribution"] = pa.array(np.concatenate(out.contribs).astype(np.float64))
+            cols["count"] = pa.array(np.concatenate(out.counts).astype(np.int64))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return prepared.mapInArrow(extract_fn, schema)
+
+
+def motif_summary(occurrences: DataFrame, k: int, top_n: int | None = None) -> DataFrame:
+    """The README's user-side post-aggregation (README.md:155-192): group
+    occurrences by motif key, keep the CMS estimate, sum contributions,
+    count docs, order by count desc.  Plain Catalyst."""
+    keys = [f"m{i+1}" for i in range(k)]
+    out = (
+        occurrences.groupBy(*keys)
+        .agg(
+            F.first("count").alias("count"),
+            F.count("*").alias("n_occurrences"),
+            F.sum("contribution").alias("total_contribution"),
+        )
+        .orderBy(F.desc("count"), *keys)
+    )
+    return out.limit(top_n) if top_n else out

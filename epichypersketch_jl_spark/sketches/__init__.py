@@ -1,0 +1,16 @@
+from .base import MergeableSketch, from_bytes
+from .cms import CountMinSketch
+from .hll import HyperLogLog
+from .bloom import BloomFilter
+from .kll import KLL
+from .tdigest import TDigest
+
+__all__ = [
+    "MergeableSketch",
+    "from_bytes",
+    "CountMinSketch",
+    "HyperLogLog",
+    "BloomFilter",
+    "KLL",
+    "TDigest",
+]

@@ -1,0 +1,167 @@
+"""Pure-numpy kernel tests: combination enumeration + build/extract vs
+brute force (SURVEY.md §7 step 2)."""
+
+from itertools import combinations
+from math import comb
+
+import numpy as np
+import pyarrow as pa
+
+from epichypersketch_jl_spark.config import HyperSketchConfig
+from epichypersketch_jl_spark.functions.combinations import (
+    comb_index_matrix,
+    gather_rows,
+    iter_length_groups,
+)
+from epichypersketch_jl_spark.functions.motif_kernels import (
+    build_batch,
+    extract_batch,
+    list_column_to_numpy,
+    make_cms,
+)
+
+
+def _ragged(rows):
+    flat = np.concatenate([np.asarray(r, dtype=np.int64) for r in rows if len(r)] or [[]])
+    offsets = np.concatenate([[0], np.cumsum([len(r) for r in rows])]).astype(np.int64)
+    return flat.astype(np.int64), offsets
+
+
+class TestCombinations:
+    def test_comb_matrix(self):
+        m = comb_index_matrix(5, 3)
+        assert m.shape == (comb(5, 3), 3)
+        assert [tuple(r) for r in m] == list(combinations(range(5), 3))
+        assert comb_index_matrix(2, 3).shape[0] == 0
+
+    def test_length_groups_cover_all_rows_once(self):
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(0, 12, size=200)
+        seen = []
+        for rows, L in iter_length_groups(lengths, 3, max_cells=500):
+            assert (lengths[rows] == L).all()
+            seen.extend(rows.tolist())
+        expected = np.flatnonzero(lengths >= 3)
+        assert sorted(seen) == sorted(expected.tolist())
+
+    def test_chunking_respects_max_cells(self):
+        lengths = np.full(100, 10)
+        for rows, L in iter_length_groups(lengths, 3, max_cells=comb(10, 3) * 3 * 7):
+            assert len(rows) <= 7
+
+    def test_gather(self):
+        flat, off = _ragged([[1, 2], [3, 4, 5], [6, 7]])
+        got = gather_rows(flat, off, np.array([0, 2]), 2)
+        assert got.tolist() == [[1, 2], [6, 7]]
+
+
+class TestBuildExtractOrdinary:
+    def _exact(self, rows, k):
+        counts = {}
+        for r in rows:
+            for c in combinations(sorted(r), k):
+                counts[c] = counts.get(c, 0) + 1
+        return counts
+
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(1)
+        rows = [
+            rng.choice(np.arange(1, 60), size=rng.integers(0, 9), replace=False).tolist()
+            for _ in range(300)
+        ]
+        cfg = HyperSketchConfig(motif_size=3, min_count=1, seed=5)
+        cms = make_cms(cfg, conv=False)
+        flat, off = _ragged(rows)
+        build_batch(cms, flat, off, cfg)
+        exact = self._exact(rows, 3)
+        assert cms.n_updates == sum(exact.values())
+        keys = np.array(list(exact.keys()))
+        est = cms.estimate(keys)
+        assert (est >= np.array(list(exact.values()))).all()
+        # with 60 tokens / wide sketch, no collisions: exact parity
+        assert (est == np.array(list(exact.values()))).all()
+
+    def test_extract_rows(self):
+        rows = [[1, 2, 3], [3, 2, 1], [1, 2, 9], [4, 5, 6]]
+        cfg = HyperSketchConfig(motif_size=2, min_count=2, seed=5)
+        cms = make_cms(cfg, conv=False)
+        flat, off = _ragged(rows)
+        build_batch(cms, flat, off, cfg)
+        out = extract_batch(cms, flat, off, cfg)
+        motifs = np.concatenate(out.motifs)
+        row_idx = np.concatenate(out.row_idx)
+        counts = np.concatenate(out.counts)
+        got = sorted(zip(map(tuple, motifs.tolist()), row_idx.tolist(), counts.tolist()))
+        # pairs with count>=2: (1,2)x3, (1,3)x2, (2,3)x2 — from docs 0,1,2
+        expected = sorted(
+            [((1, 2), 0, 3), ((1, 3), 0, 2), ((2, 3), 0, 2),
+             ((1, 2), 1, 3), ((1, 3), 1, 2), ((2, 3), 1, 2),
+             ((1, 2), 2, 3)]
+        )
+        assert got == expected
+        # contribution defaults to k (weights of 1.0 summed; reference tests
+        # use uniform 1.0 contributions, test/test_large_example_ordinary.jl:9)
+        assert (np.concatenate(out.contribs) == 2.0).all()
+
+    def test_duplicate_tokens_count_per_index_combination(self):
+        # counting unit = (index-combination, doc), SURVEY.md §2
+        rows = [[5, 5, 7]]
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, seed=5)
+        cms = make_cms(cfg, conv=False)
+        flat, off = _ragged(rows)
+        build_batch(cms, flat, off, cfg)
+        assert cms.estimate(np.array([[5, 5]]))[0] == 1
+        assert cms.estimate(np.array([[5, 7]]))[0] == 2
+
+
+class TestBuildExtractConv:
+    def test_gap_semantics_and_overlap_rejection(self):
+        # one doc: filters (1,2,3) at positions (5,15,40), filter_len=8
+        # gaps: 15-5-8=2, 40-15-8=17 ; overlapping pair (pos 5,10) rejected
+        toks = [[1, 2, 3], [4, 5]]
+        poss = [[5, 15, 40], [5, 10]]
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, filter_len=8, seed=5)
+        cms = make_cms(cfg, conv=True)
+        tflat, off = _ragged(toks)
+        pflat, _ = _ragged(poss)
+        build_batch(cms, tflat, off, cfg, positions_flat=pflat)
+        assert cms.estimate(np.array([[1, 2, 2]]))[0] == 1  # (f1, gap=2, f2)
+        assert cms.estimate(np.array([[2, 17, 3]]))[0] == 1
+        assert cms.estimate(np.array([[1, 27, 3]]))[0] == 1
+        # overlapping placement in doc 1 (gap = 10-5-8 = -3) rejected
+        assert cms.n_updates == 3
+
+        out = extract_batch(cms, tflat, off, cfg, positions_flat=pflat)
+        motifs = np.concatenate(out.motifs)
+        gaps = np.concatenate(out.gaps)
+        starts = np.concatenate(out.starts)
+        ends = np.concatenate(out.ends)
+        rowi = np.concatenate(out.row_idx)
+        assert (rowi == 0).all()
+        got = sorted(zip(map(tuple, motifs.tolist()), map(tuple, gaps.tolist()),
+                         starts.tolist(), ends.tolist()))
+        # end = pos_k + filter_len - 1 (src/count_gpu.jl:252-257)
+        assert got == [((1, 2), (2,), 5, 22), ((1, 3), (27,), 5, 47), ((2, 3), (17,), 15, 47)]
+
+    def test_position_sorting(self):
+        # storage order scrambled; keys must follow position order
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, filter_len=0, seed=5)
+        cms = make_cms(cfg, conv=True)
+        tflat, off = _ragged([[9, 4]])
+        pflat, _ = _ragged([[20, 10]])
+        build_batch(cms, tflat, off, cfg, positions_flat=pflat)
+        assert cms.estimate(np.array([[4, 10, 9]]))[0] == 1  # pos-ordered: 4 then 9
+
+
+class TestArrowBridge:
+    def test_list_column_roundtrip(self):
+        arr = pa.array([[1, 2], [], [3, 4, 5]], type=pa.list_(pa.int32()))
+        flat, off = list_column_to_numpy(arr)
+        assert off.tolist() == [0, 2, 2, 5]
+        assert flat.tolist() == [1, 2, 3, 4, 5]
+
+    def test_sliced_list_column(self):
+        arr = pa.array([[1, 2], [3], [4, 5, 6]], type=pa.list_(pa.int32())).slice(1, 2)
+        flat, off = list_column_to_numpy(arr)
+        got = [flat[off[i]: off[i + 1]].tolist() for i in range(len(off) - 1)]
+        assert got == [[3], [4, 5, 6]]

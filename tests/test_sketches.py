@@ -1,0 +1,228 @@
+"""Pure-numpy sketch unit + property tests (no Spark).
+
+Covers SURVEY.md §5's plan items (1) and (2): error-bound checks and the
+merge algebra (associativity, commutativity, identity, chunking invariance).
+"""
+
+import numpy as np
+import pytest
+
+from epichypersketch_jl_spark.errors import MergeError
+from epichypersketch_jl_spark.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+    from_bytes,
+)
+
+
+def _zipf_keys(rng, n, vocab, k=1):
+    keys = (rng.zipf(1.5, size=(n, k)) % vocab) + 1
+    return keys.astype(np.int64)
+
+
+# --------------------------------------------------------------------- CMS
+class TestCMS:
+    def test_dims_match_reference_formulas(self):
+        # reference defaults delta=1e-4, eps=5e-5 -> d=10, w=54366
+        # (src/EpicHyperSketch.jl:14-16, src/sketch.jl:39-78)
+        cms = CountMinSketch(delta=1e-4, epsilon=5e-5, key_width=3)
+        assert cms.depth == 10
+        assert cms.width == 54366
+        assert cms.coeffs.shape == (10, 3)
+        assert (cms.coeffs >= 1).all() and (cms.coeffs < 10 * 54366).all()
+
+    def test_never_undercounts_and_eps_bound(self):
+        rng = np.random.default_rng(0)
+        keys = _zipf_keys(rng, 200_000, 5000, k=2)
+        cms = CountMinSketch(delta=1e-3, epsilon=1e-4, key_width=2, seed=7)
+        cms.update_batch(keys)
+        uniq, exact = np.unique(keys, axis=0, return_counts=True)
+        est = cms.estimate(uniq)
+        assert (est >= exact).all(), "CMS must never undercount"
+        n = cms.n_updates
+        viol = (est - exact > cms.epsilon * n).mean()
+        assert viol <= cms.delta * 10  # generous slack over the 1-delta bound
+
+    def test_conservative_update_tighter_and_sound(self):
+        rng = np.random.default_rng(1)
+        # ~500 distinct random 2-tuples, zipf-weighted, into a narrow sketch
+        # (w ~ 544) so every row suffers collisions and CU has room to tighten
+        vocab = rng.integers(1, 1_000_000, size=(500, 2))
+        keys = vocab[(rng.zipf(1.5, size=50_000) % 500)].astype(np.int64)
+        plain = CountMinSketch(delta=0.01, epsilon=0.005, key_width=2, seed=3)
+        cons = CountMinSketch(delta=0.01, epsilon=0.005, key_width=2, seed=3, conservative=True)
+        for chunk in np.array_split(keys, 10):
+            plain.update_batch(chunk)
+            cons.update_batch(chunk)
+        uniq, exact = np.unique(keys, axis=0, return_counts=True)
+        ep, ec = plain.estimate(uniq), cons.estimate(uniq)
+        assert (ec >= exact).all(), "conservative update must never undercount"
+        assert (ec <= ep).all(), "conservative update must be at least as tight"
+        assert ec.sum() < ep.sum()  # and strictly tighter somewhere under collisions
+
+    def test_merge_algebra(self):
+        rng = np.random.default_rng(2)
+        keys = _zipf_keys(rng, 30_000, 2000, k=3)
+
+        def build(chunk):
+            c = CountMinSketch(delta=0.01, epsilon=0.001, key_width=3, seed=11)
+            c.update_batch(chunk)
+            return c
+
+        a, b, c = (build(ch) for ch in np.array_split(keys, 3))
+        m1 = a.merge(b).merge(c)
+        m2 = a.merge(b.merge(c))  # associative
+        m3 = c.merge(a).merge(b)  # commutative
+        assert m1 == m2 == m3
+        zero = CountMinSketch(delta=0.01, epsilon=0.001, key_width=3, seed=11)
+        assert m1.merge(zero) == m1  # identity
+        # chunking invariance: any re-partitioning gives the identical table
+        whole = build(keys)
+        assert m1 == whole
+        assert m1.n_updates == whole.n_updates
+
+    def test_merge_incompatible_raises(self):
+        a = CountMinSketch(key_width=2, seed=1)
+        b = CountMinSketch(key_width=2, seed=2)
+        with pytest.raises(MergeError):
+            a.merge(b)
+
+    def test_roundtrip_bytes(self):
+        c = CountMinSketch(delta=0.01, epsilon=0.001, key_width=2, seed=5)
+        c.update_batch(np.array([[1, 2], [3, 4], [1, 2]]))
+        r = from_bytes(c.to_bytes())
+        assert r == c and r.n_updates == c.n_updates
+        assert (r.estimate(np.array([[1, 2]])) == np.array([2])).all()
+
+
+# --------------------------------------------------------------------- HLL
+class TestHLL:
+    @pytest.mark.parametrize("n", [100, 10_000, 300_000])
+    def test_relative_error(self, n):
+        h = HyperLogLog(p=14, seed=9)
+        h.update_batch(np.arange(n, dtype=np.int64))
+        est = h.estimate()
+        assert abs(est - n) / n < 0.05  # 1.04/sqrt(2^14) ~ 0.8%; 5x slack
+
+    def test_strings_and_merge(self):
+        a, b = HyperLogLog(p=12, seed=1), HyperLogLog(p=12, seed=1)
+        a.update_batch(np.array([f"w{i}" for i in range(5000)], dtype=object))
+        b.update_batch(np.array([f"w{i}" for i in range(2500, 7500)], dtype=object))
+        m = a.merge(b)
+        assert abs(m.estimate() - 7500) / 7500 < 0.06
+        assert np.array_equal(m.regs, b.merge(a).regs)  # commutative
+        r = from_bytes(m.to_bytes())
+        assert r.estimate() == m.estimate()
+
+    def test_merge_chunk_invariance(self):
+        vals = np.random.default_rng(4).integers(0, 10_000, 50_000)
+        whole = HyperLogLog(p=10, seed=2)
+        whole.update_batch(vals)
+        parts = [HyperLogLog(p=10, seed=2) for _ in range(7)]
+        for p, ch in zip(parts, np.array_split(vals, 7)):
+            p.update_batch(ch)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.merge(p)
+        assert np.array_equal(merged.regs, whole.regs)  # byte-identical
+
+
+# ------------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives_and_fpp(self):
+        bf = BloomFilter(n_expected=20_000, fpp=0.01, seed=3)
+        present = np.arange(20_000, dtype=np.int64)
+        bf.update_batch(present)
+        assert bf.contains(present).all(), "no false negatives allowed"
+        absent = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+        fp = bf.contains(absent).mean()
+        assert fp < 0.03
+
+    def test_merge_is_union(self):
+        a = BloomFilter(n_expected=1000, fpp=0.01, seed=1)
+        b = BloomFilter(n_expected=1000, fpp=0.01, seed=1)
+        a.update_batch(np.arange(0, 500))
+        b.update_batch(np.arange(500, 1000))
+        m = a.merge(b)
+        assert m.contains(np.arange(0, 1000)).all()
+        assert np.array_equal(m.words, b.merge(a).words)
+        r = from_bytes(m.to_bytes())
+        assert np.array_equal(r.words, m.words)
+
+
+# --------------------------------------------------------------------- KLL
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(5)
+        vals = rng.normal(size=100_000)
+        k = KLL(k=200, seed=1)
+        k.update_batch(vals)
+        s = np.sort(vals)
+        for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+            est = float(k.quantile(q)[0])
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.02, f"q={q}: rank error too large"
+
+    def test_merge_preserves_bound(self):
+        rng = np.random.default_rng(6)
+        vals = rng.exponential(size=60_000)
+        parts = [KLL(k=200, seed=i) for i in range(6)]
+        for p, ch in zip(parts, np.array_split(vals, 6)):
+            p.update_batch(ch)
+        m = parts[0]
+        for p in parts[1:]:
+            m = m.merge(p)
+        assert m.n == len(vals)
+        s = np.sort(vals)
+        for q in [0.1, 0.5, 0.9]:
+            est = float(m.quantile(q)[0])
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.03
+
+    def test_roundtrip(self):
+        k = KLL(k=128, seed=2)
+        k.update_batch(np.arange(10_000, dtype=float))
+        r = from_bytes(k.to_bytes())
+        assert r.n == k.n
+        assert float(r.quantile(0.5)[0]) == float(k.quantile(0.5)[0])
+
+
+# ----------------------------------------------------------------- TDigest
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(7)
+        vals = rng.lognormal(size=200_000)
+        t = TDigest(compression=200)
+        for ch in np.array_split(vals, 20):
+            t.update_batch(ch)
+        s = np.sort(vals)
+        for q in [0.001, 0.01, 0.5, 0.99, 0.999]:
+            est = float(t.quantile(q)[0])
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.01, f"q={q}"
+
+    def test_extremes_exact(self):
+        t = TDigest(compression=100)
+        vals = np.array([5.0, 1.0, 9.0, 3.0])
+        t.update_batch(vals)
+        assert float(t.quantile(0.0)[0]) == 1.0
+        assert float(t.quantile(1.0)[0]) == 9.0
+
+    def test_merge_accuracy_and_roundtrip(self):
+        rng = np.random.default_rng(8)
+        vals = rng.normal(size=100_000)
+        parts = [TDigest(compression=100) for _ in range(8)]
+        for p, ch in zip(parts, np.array_split(vals, 8)):
+            p.update_batch(ch)
+        m = parts[0]
+        for p in parts[1:]:
+            m = m.merge(p)
+        assert abs(m.n - len(vals)) < 1e-6
+        med = float(m.quantile(0.5)[0])
+        assert abs(med - np.median(vals)) < 0.02
+        r = from_bytes(m.to_bytes())
+        assert float(r.quantile(0.5)[0]) == pytest.approx(med)
+        assert len(m.means) <= 2 * m.compression
