@@ -1,0 +1,100 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {...}, "sf": ...} plus throughput extras.
+
+The BASELINE.json headline metric is sketch-build tokens/sec; that is
+reported as `tokens_per_sec` (build-phase only) alongside per-query wall
+times.  Scaling-efficiency evidence (local[8] vs local[32]) lives in
+BENCH/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ehs-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "100g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from epichypersketch_jl_spark import entrypoints as ep
+    from epichypersketch_jl_spark.config import HyperSketchConfig
+    from epichypersketch_jl_spark.operators.motif import build_motif_cms
+    from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q0: sketch-build throughput (the BASELINE.json headline)
+    seq = documents_sequences(spark, sf_dir).repartition(cpus).cache()
+    n_tokens = seq.selectExpr("sum(n_tok) as t").collect()[0].t
+    t0 = time.monotonic()
+    cms, metrics = build_motif_cms(seq, HyperSketchConfig(motif_size=2, min_count=1, seed=42))
+    build_s = time.monotonic() - t0
+    times["sketch_build_k2"] = round(build_s, 3)
+    extras["tokens_per_sec"] = round(n_tokens / build_s, 1)
+    extras["updates_per_sec"] = round(cms.n_updates / build_s, 1)
+    extras["n_tokens"] = int(n_tokens)
+    extras["n_updates"] = int(cms.n_updates)
+
+    bench_queries = {
+        "motifs_k2_summary": ep.q_motifs_k2_summary,
+        "motifs_k3_summary": ep.q_motifs_k3_summary,
+        "conv_motifs_k2": ep.q_conv_motifs_k2,
+        "heavy_tokens": ep.q_heavy_tokens,
+        "ntok_stats": ep.q_ntok_stats,
+    }
+    for name, fn in bench_queries.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        extras[f"rows_{name}"] = n
+
+    seq.unpersist()
+    spark.stop()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,491 @@
+"""Driver-contract queries and their ANSI-SQL (DuckDB) oracles.
+
+Each query runs the engine on the driver's parquet tables; each oracle is an
+exact recount in SQL.  Parity holds because (a) everything is seeded and
+deterministic, and (b) the parity configs keep the number of distinct pattern
+keys far below the CMS width, so estimates equal exact counts (verified by
+tests/oracle_check.py at sf0.01; the probabilistic headroom is ~1e-7).
+
+Tokenization for the documents table is a deterministic codebook: token id =
+1-based rank of the word in the sorted global vocabulary — reproducible in
+both Spark (sources/tables.py) and SQL (row_number over sorted distinct
+words), keeping the token-array-equality invariant between engine and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import HyperSketchConfig
+from .operators.motif import enriched_configurations, motif_counts, motif_summary
+from .sources.tables import documents_sequences, read_table
+
+
+def _seq(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Tokenized sequences, spread across the cluster.  Small SFs arrive as a
+    single parquet split; repartitioning costs one tiny shuffle and buys full
+    task parallelism for the enumeration kernels.  (At real scale the scan
+    already yields many splits and this becomes a no-op-sized adjustment.)"""
+    df = documents_sequences(spark, sf_dir, **kw)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+# ------------------------------------------------------------------ SQL CTEs
+
+_TOK_CTE = """
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
+  FROM (SELECT DISTINCT w FROM words)
+),
+toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS idx
+  FROM words JOIN vocab USING (w)
+)
+"""
+
+# positions = 1-based word index (storage order), filter_len = 1 so that
+# adjacent words have gap d = delta_pos - 1 = 0.
+_POS_CTE = """
+docsf AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents
+  WHERE len(string_split(text, ' ')) <= 40
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+),
+pwords AS (
+  SELECT doc_id, unnest(ws) AS w,
+         CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+  FROM docsf
+),
+ptoks AS (SELECT doc_id, tok, pos FROM pwords JOIN vocab USING (w))
+"""
+
+# ------------------------------------------------------------------- queries
+
+K2_MIN = 2200
+K3_MIN = 4000
+CONV_MIN = 6
+HEAVY_MIN = 500
+CONV_FILTER_LEN = 1
+
+
+def q_motifs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary k=2 motif occurrences (the reference's flagship semantics)."""
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42)
+    return enriched_configurations(seq, cfg, validate=False)
+
+
+def q_motifs_k2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42)
+    return motif_counts(seq, cfg)
+
+
+def q_motifs_k3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=3, min_count=K3_MIN, seed=42)
+    return motif_counts(seq, cfg)
+
+
+def q_conv_motifs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convolution mode: pattern key = (m1, gap, m2), positions = word index."""
+    seq = _seq(spark, sf_dir, with_positions=True).filter("n_tok <= 40")
+    cfg = HyperSketchConfig(
+        motif_size=2,
+        min_count=CONV_MIN,
+        filter_len=CONV_FILTER_LEN,
+        seed=42,
+        epsilon=1e-5,  # parity width: distinct (m1,gap,m2) keys are many
+    )
+    return enriched_configurations(seq, cfg, validate=False)
+
+
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1 heavy hitters via the same pipeline."""
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=1, min_count=HEAVY_MIN, seed=42)
+    occ = enriched_configurations(seq, cfg, validate=False)
+    return (
+        occ.groupBy("m1")
+        .agg(F.first("count").alias("count"), F.count("*").alias("n_occurrences"))
+        .orderBy("m1")
+    )
+
+
+def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact aggregates over the tokenized table (Catalyst layer)."""
+    seq = documents_sequences(spark, sf_dir)
+    return (
+        seq.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------- training-data queries
+
+JACCARD_T = 0.5
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_stats
+
+    return token_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quality_score
+
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lang_id_heuristic
+
+    return lang_id_heuristic(read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.filter("vec_id < 10")
+    return cosine_topk(emb, queries, k=10)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_neardup_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.4)
+
+
+def q_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (Catalyst) — companion to the HLL estimate below."""
+    seq = _seq(spark, sf_dir)
+    return (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n_distinct"))
+        .orderBy("source")
+    )
+
+
+def q_hll_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cardinality import hll_distinct
+
+    seq = _seq(spark, sf_dir)
+    return hll_distinct(seq, "tokens", group_col="source", p=14, seed=42)
+
+
+def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import kll_quantiles
+
+    seq = _seq(spark, sf_dir)
+    qs = kll_quantiles(seq, "n_tok", [0.1, 0.5, 0.9, 0.99], k=256, seed=42)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in sorted(qs.items())], schema="q: double, value: double"
+    )
+
+
+def q_tdigest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantiles import tdigest_quantiles
+
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qs = tdigest_quantiles(ev, "value", [0.01, 0.5, 0.99], compression=200.0)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in sorted(qs.items())], schema="q: double, value: double"
+    )
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reducer: orders whose custkey passes a Bloom
+    built over high-balance customers (no false negatives; FPs possible)."""
+    from .operators.cardinality import bloom_semijoin, build_bloom
+
+    cust = read_table(spark, sf_dir, "customer").filter("c_acctbal > 5000")
+    # fpp tight enough that zero false positives are expected at this probe
+    # volume, making the exact semi-join a valid oracle (seeded/deterministic)
+    bloom = build_bloom(cust, "c_custkey", n_expected=100_000, fpp=1e-9, seed=42)
+    orders = read_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return bloom_semijoin(orders, "o_custkey", bloom).select("o_orderkey", "o_custkey")
+
+
+QUERIES = {
+    "motifs_k2": q_motifs_k2,
+    "motifs_k2_summary": q_motifs_k2_summary,
+    "motifs_k3_summary": q_motifs_k3_summary,
+    "conv_motifs_k2": q_conv_motifs_k2,
+    "heavy_tokens": q_heavy_tokens,
+    "ntok_stats": q_ntok_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "distinct_tokens_per_source": q_distinct_tokens_per_source,
+    "hll_tokens_per_source": q_hll_tokens_per_source,
+    "kll_ntok_quantiles": q_kll_ntok_quantiles,
+    "tdigest_event_value": q_tdigest_event_value,
+    "bloom_semijoin": q_bloom_semijoin,
+}
+
+# ------------------------------------------------------------------- oracles
+
+ORACLES = {
+    "motifs_k2": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (SELECT m1, m2, count(*) AS c FROM pairs GROUP BY m1, m2)
+SELECT p.m1, p.m2, p.doc_id,
+       CAST(2.0 AS DOUBLE) AS contribution,
+       c.c AS count
+FROM pairs p JOIN cnt c USING (m1, m2)
+WHERE c.c >= {K2_MIN}
+""",
+    "motifs_k2_summary": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (
+  SELECT m1, m2, count(*) AS c, count(*) AS n_occ
+  FROM pairs GROUP BY m1, m2
+)
+SELECT m1, m2, c AS count, n_occ AS n_occurrences,
+       CAST(2.0 * n_occ AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {K2_MIN}
+""",
+    "motifs_k3_summary": f"""
+WITH {_TOK_CTE},
+trips AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2, c.tok AS m3
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+  JOIN toks c ON b.doc_id = c.doc_id AND b.idx < c.idx
+),
+cnt AS (SELECT m1, m2, m3, count(*) AS c FROM trips GROUP BY m1, m2, m3)
+SELECT m1, m2, m3, c AS count, c AS n_occurrences,
+       CAST(3.0 * c AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {K3_MIN}
+""",
+    "conv_motifs_k2": f"""
+WITH {_POS_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2,
+         CAST(b.pos - a.pos - {CONV_FILTER_LEN} AS INT) AS d12,
+         CAST(a.pos AS INT) AS start,
+         CAST(b.pos + {CONV_FILTER_LEN} - 1 AS INT) AS "end"
+  FROM ptoks a JOIN ptoks b
+    ON a.doc_id = b.doc_id AND a.pos < b.pos
+  WHERE b.pos - a.pos - {CONV_FILTER_LEN} >= 0
+),
+cnt AS (SELECT m1, m2, d12, count(*) AS c FROM pairs GROUP BY m1, m2, d12)
+SELECT p.m1, p.m2, p.d12, p.start, p."end", p.doc_id,
+       CAST(2.0 AS DOUBLE) AS contribution, c.c AS count
+FROM pairs p JOIN cnt c USING (m1, m2, d12)
+WHERE c.c >= {CONV_MIN}
+""",
+    "heavy_tokens": f"""
+WITH {_TOK_CTE},
+cnt AS (SELECT tok AS m1, count(*) AS c FROM toks GROUP BY tok)
+SELECT m1, c AS count, c AS n_occurrences
+FROM cnt WHERE c >= {HEAVY_MIN}
+ORDER BY m1
+""",
+    "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+g AS (SELECT hh, min(doc_id) AS keep_doc_id, count(*) AS group_size FROM h GROUP BY hh)
+SELECT h.doc_id, g.keep_doc_id, g.group_size FROM h JOIN g USING (hh)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+    FROM ws WHERE len(w) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common)) AS BIGINT) AS jaccard_pct
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common)) >= {int(JACCARD_T * 100)}
+""",
+    "token_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+       CAST(FLOOR(100.0 * (length(text) - len(string_split(text, ' ')) + 1)
+                  / len(string_split(text, ' '))) AS BIGINT) AS avg_word_len_x100
+FROM documents
+""",
+    "quality_score": """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(len(list_filter(w, x -> list_contains(
+             ['the','and','of','to','a','in','is','it','that','for'], x))) AS INT) AS n_stopwords,
+         CAST(len(list_distinct(w)) AS INT) AS n_distinct
+  FROM ws
+)
+SELECT doc_id, n_words, n_stopwords,
+       CAST(FLOOR(1000.0 * n_stopwords / n_words) AS BIGINT) AS stop_ratio_x1000,
+       CAST(FLOOR(1000.0 * n_distinct / n_words) AS BIGINT) AS ttr_x1000,
+       CASE WHEN n_words < 20 THEN 'short'
+            WHEN n_words < 60 THEN 'medium'
+            ELSE 'long' END AS length_bucket
+FROM q
+""",
+    "lang_id": """
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(w, x -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','ich'], x))) AS INT) AS score_de,
+    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS INT) AS score_en,
+    CAST(len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS INT) AS score_es,
+    CAST(len(list_filter(w, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], x))) AS INT) AS score_fr,
+    CAST(len(list_filter(w, x -> list_contains(['的','是','了','在','我','有','和','就','不','人'], x))) AS INT) AS score_zh
+  FROM ws
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+  CASE
+    WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+    WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+    WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+    WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+    ELSE 'zh' END AS predicted_lang
+FROM s
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_sorted_md5
+FROM documents
+""",
+    "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id != q.qid
+),
+rk AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, CAST(FLOOR(1000000 * cos) AS BIGINT) AS cos_pct
+FROM rk WHERE rn <= 10
+""",
+    "distinct_tokens_per_source": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT source, count(DISTINCT tok) AS n_distinct
+FROM w GROUP BY source ORDER BY source
+""",
+    "bloom_semijoin": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+""",
+    "ntok_stats": """
+WITH n AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(n_tok) AS min_tok,
+       max(n_tok) AS max_tok
+FROM n GROUP BY source ORDER BY source
+""",
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Flagship for entry(): k=2 motif summary at sf0.001."""
+    return q_motifs_k2_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,157 @@
+"""Distinct-count (HyperLogLog) and membership (Bloom) operators.
+
+Part of the generalized sketch family (BASELINE.json north_star).  Same
+plan shape as the CMS build: partition-local numpy sketches inside
+mapInArrow, merged associatively — per group when a group column is given
+(each task emits one blob per group it saw; blobs merge across tasks).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+from ..functions.hashing import hash64
+from ..functions.motif_kernels import list_column_to_numpy
+from ..sketches.base import from_bytes
+from ..sketches.bloom import BloomFilter
+from ..sketches.hll import HyperLogLog
+
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("group", StringType(), False),
+        StructField("sketch", BinaryType(), False),
+    ]
+)
+_BLOB_ARROW = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
+
+
+def _grouped_blobs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None,
+    zero_fn,
+    update_fn,
+    is_list: bool,
+) -> dict[str, object]:
+    """Run a mapInArrow pass emitting one sketch blob per (task, group),
+    then merge per group on the driver (group cardinality is assumed small —
+    it's a grouping key, not a payload)."""
+    cols = [value_col] + ([group_col] if group_col else [])
+    src = df.select(*cols)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        local: dict[str, object] = {}
+        for batch in batches:
+            if is_list:
+                flat, offsets = list_column_to_numpy(batch.column(value_col))
+            else:
+                flat = batch.column(value_col).to_numpy(zero_copy_only=False)
+                offsets = None
+            if group_col is None:
+                sk = local.setdefault("__all__", zero_fn())
+                update_fn(sk, flat)
+            else:
+                groups = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+                for g in np.unique(groups):
+                    rows = np.flatnonzero(groups == g)
+                    if is_list:
+                        vals = np.concatenate(
+                            [flat[offsets[i] : offsets[i + 1]] for i in rows]
+                        ) if rows.size else flat[:0]
+                    else:
+                        vals = flat[rows]
+                    sk = local.setdefault(str(g), zero_fn())
+                    update_fn(sk, vals)
+        for g, sk in local.items():
+            yield pa.RecordBatch.from_pydict(
+                {"group": [g], "sketch": [sk.to_bytes()]}, schema=_BLOB_ARROW
+            )
+
+    rows = src.mapInArrow(fn, _BLOB_SCHEMA).collect()
+    merged: dict[str, object] = {}
+    for r in rows:
+        sk = from_bytes(bytes(r.sketch))
+        merged[r.group] = merged[r.group].merge(sk) if r.group in merged else sk
+    return merged
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    p: int = 14,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate distinct count of value_col (scalar or array element),
+    overall or per group.  Returns (group?, approx_distinct: long)."""
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+
+    def update(sk: HyperLogLog, vals: np.ndarray) -> None:
+        sk.update_batch(vals)
+
+    merged = _grouped_blobs(
+        df, value_col, group_col, lambda: HyperLogLog(p=p, seed=seed), update, is_list
+    )
+    spark = df.sparkSession
+    rows = [
+        (g, int(round(sk.estimate())))
+        for g, sk in sorted(merged.items())
+    ]
+    if group_col is None:
+        return spark.createDataFrame(
+            [(r[1],) for r in rows], schema="approx_distinct: long"
+        )
+    return spark.createDataFrame(rows, schema=f"{group_col}: string, approx_distinct: long")
+
+
+def build_bloom(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_expected: int,
+    fpp: float = 0.01,
+    seed: int = 42,
+) -> BloomFilter:
+    """Distributed Bloom build over a scalar column; merge = OR."""
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+
+    def update(sk: BloomFilter, vals: np.ndarray) -> None:
+        sk.update_batch(vals)
+
+    merged = _grouped_blobs(
+        df,
+        value_col,
+        None,
+        lambda: BloomFilter(n_expected=n_expected, fpp=fpp, seed=seed),
+        update,
+        is_list,
+    )
+    return merged["__all__"]
+
+
+def bloom_semijoin(
+    df: DataFrame, probe_col: str, bloom: BloomFilter
+) -> DataFrame:
+    """Filter df to rows whose probe_col might be in the bloom (no false
+    negatives; FP rate per filter params).  The classic pre-shuffle
+    semi-join reducer: ships a fixed-size bitset instead of a join."""
+    spark = df.sparkSession
+    blob = spark.sparkContext.broadcast(bloom.to_bytes())
+    src_schema = df.schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bf = from_bytes(blob.value)
+        for batch in batches:
+            vals = batch.column(probe_col).to_numpy(zero_copy_only=False)
+            mask = bf.contains(vals)
+            if mask.any():
+                yield batch.filter(pa.array(mask))
+
+    return df.mapInArrow(fn, src_schema)

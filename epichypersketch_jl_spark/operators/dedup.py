@@ -1,0 +1,346 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup surface; these are the standard web-scale recipes
+re-expressed Spark-first, sharing the package's vectorized-kernel discipline:
+
+  * exact        — hash-groupBy on normalized text (pure Catalyst)
+  * ngram_jaccard— exact n-gram (word-shingle) Jaccard >= tau pairs via an
+                   inverted-index self-join (pure Catalyst; only pairs that
+                   share >= 1 shingle are compared — never the full cross
+                   product)
+  * minhash_lsh  — MinHash signatures (vectorized numpy inside mapInArrow)
+                   -> banding -> bucket self-join -> exact-Jaccard verify;
+                   the scale path when the shingle-share join explodes
+  * simhash      — 64-bit SimHash + banded Hamming candidate join
+
+Scale notes: every self-join here keys on a content-derived bucket (shingle,
+band hash, simhash band), so shuffle volume tracks near-duplicate density,
+not corpus size^2.  Skewed buckets (boilerplate shingles) are capped via a
+document-frequency filter, the standard trick for stop-shingles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.hashing import splitmix64
+
+_U = np.uint64
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keep_doc_id, group_size): keeper = min id among identical text."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    grouped = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("group_size"))
+    )
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        .join(grouped, "__h")
+        .select(id_col, "keep_doc_id", "group_size")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Adds `shingles: array<string>` of word n-grams (JVM-side, no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs must
+    # short-circuit to an empty array instead
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("shingles", sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index join (doc_a < doc_b).
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard_pct: int 0..100).
+    Jaccard is over DISTINCT shingles.  jaccard_pct = floor(100 * j) keeps
+    the output integer-exact for oracle hashing.
+    """
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s"))
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_pct",
+            F.floor(
+                F.lit(100) * F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_pct") >= int(threshold * 100))
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard_pct")
+    )
+    return out
+
+
+# ------------------------------------------------------------------- MinHash
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — vectorized MinHash over word n-grams.
+
+    Per Arrow batch: flatten all shingles, 64-bit-hash them once, then for
+    each permutation apply (a*h+b) mod Mersenne61 and take per-doc minima
+    with np.minimum.reduceat — no per-row Python.
+    """
+    import pandas as pd
+
+    a_co, b_co = _minhash_params(num_perm, seed)
+    shingled = word_shingles(df.select(id_col, text_col), text_col, n).select(
+        id_col, F.array_distinct("shingles").alias("shingles")
+    )
+    out_schema = StructType(
+        [
+            shingled.schema[id_col],
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column("shingles")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy().astype(np.int64)
+            flat = col.values.to_pandas().to_numpy(dtype=object)
+            n_docs = batch.num_rows
+            sig = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(flat):
+                h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+                h = splitmix64(h)
+                lengths = np.diff(offsets)
+                nonempty = np.flatnonzero(lengths > 0)
+                if nonempty.size:
+                    starts = offsets[nonempty]
+                    with np.errstate(over="ignore"):
+                        for p in range(num_perm):
+                            hp = ((a_co[p] * h + b_co[p]) % _U(_MERSENNE)).astype(np.int64)
+                            sig[nonempty, p] = np.minimum.reduceat(hp, starts)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: batch.column(id_col),
+                    "sig": pa.array(list(sig), type=pa.list_(pa.int64())),
+                }
+            )
+
+    return shingled.mapInArrow(fn, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified by exact Jaccard.
+
+    Output (doc_a, doc_b, jaccard_pct) — a subset of ngram_jaccard_pairs
+    (LSH recall < 1), which is exactly what the pytest cross-check asserts.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.slice("sig", bi * r + 1, r).cast("array<string>")).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
+    )
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_pct",
+            F.floor(
+                F.lit(100)
+                * F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_pct") >= int(threshold * 100))
+        .select("doc_a", "doc_b", "jaccard_pct")
+    )
+    return out
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_64(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over word features, vectorized."""
+    import pandas as pd
+
+    words_df = df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+    out_schema = StructType([words_df.schema[id_col], StructField("simhash", LongType(), False)])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            col = batch.column("ws")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets = col.offsets.to_numpy().astype(np.int64)
+            flat = col.values.to_pandas().to_numpy(dtype=object)
+            n_docs = batch.num_rows
+            out = np.zeros(n_docs, dtype=np.uint64)
+            if len(flat):
+                h = splitmix64(
+                    pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+                    ^ _U(seed)
+                )
+                # doc index of every word
+                doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U(1)
+                ).astype(np.int64) * 2 - 1  # ±1
+                acc = np.zeros((n_docs, 64), dtype=np.int64)
+                np.add.at(acc, doc_of, bits)
+                out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: batch.column(id_col),
+                    "simhash": pa.array(out.view(np.int64)),
+                }
+            )
+
+    return words_df.mapInArrow(fn, out_schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via 4×16-bit band join
+    (pigeonhole: any pair within distance 3 shares at least one of 4 bands)."""
+    sh = simhash_64(df, text_col=text_col, id_col=id_col, seed=seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(band_structs).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return cand

@@ -200,6 +200,114 @@ def enriched_configurations(
     return prepared.mapInArrow(extract_fn, schema)
 
 
+def motif_counts(
+    df: DataFrame,
+    cfg: HyperSketchConfig,
+    *,
+    cms: CountMinSketch | None = None,
+    validate: bool = False,
+) -> DataFrame:
+    """Aggregated extraction with map-side combine.
+
+    Same selection semantics as enriched_configurations + motif_summary, but
+    qualifying occurrences are reduced to (key -> n_occurrences,
+    total_contribution) inside each task before anything crosses the Arrow
+    boundary, so the shuffle carries at most (#distinct qualifying keys ×
+    #partitions) rows instead of every occurrence.  This is the partial-
+    aggregation pattern Catalyst applies to hash aggregates, pushed into the
+    sketch kernel.
+    """
+    if validate and df.isEmpty():
+        raise InputError("input DataFrame is empty")
+    conv = _is_conv(df, cfg)
+    if cms is None:
+        cms, _ = build_motif_cms(df, cfg)
+    spark = df.sparkSession
+    blob_bc = spark.sparkContext.broadcast(cms.to_bytes())
+    prepared = _prepared(df, cfg, conv, with_weights=True)
+    k = cfg.motif_size
+    tok_field = df.schema[cfg.tokens_col].dataType.elementType
+    fields = [StructField(f"m{i+1}", tok_field, False) for i in range(k)]
+    if conv:
+        fields += [StructField(f"d{i+1}{i+2}", IntegerType(), False) for i in range(k - 1)]
+    fields += [
+        StructField("count", LongType(), False),
+        StructField("n_occurrences", LongType(), False),
+        StructField("total_contribution", DoubleType(), False),
+    ]
+    schema = StructType(fields)
+    tok_col, pos_col, w_col = cfg.tokens_col, cfg.positions_col, cfg.weights_col
+    has_weights = w_col in prepared.columns
+    key_cols = k + (k - 1 if conv else 0)
+
+    def agg_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sketches.base import from_bytes as _fb
+
+        local_cms = _fb(blob_bc.value)
+        acc_keys, acc_counts, acc_contrib, acc_occ = [], [], [], []
+        tok_np_dtype = np.int32
+        for batch in batches:
+            tok_flat, offsets = list_column_to_numpy(batch.column(tok_col))
+            tok_np_dtype = tok_flat.dtype
+            pos_flat = None
+            w_flat = None
+            if conv:
+                pos_flat, _ = list_column_to_numpy(batch.column(pos_col))
+            if has_weights:
+                w_flat, _ = list_column_to_numpy(batch.column(w_col))
+                w_flat = w_flat.astype(np.float64)
+            out = extract_batch(
+                local_cms, tok_flat, offsets, cfg, positions_flat=pos_flat, weights_flat=w_flat
+            )
+            if not out.row_idx:
+                continue
+            motifs = np.concatenate(out.motifs)
+            if conv:
+                motifs = np.concatenate([motifs, np.concatenate(out.gaps)], axis=1)
+            # per-batch combine
+            uk, inv = np.unique(motifs, axis=0, return_inverse=True)
+            occ = np.bincount(inv)
+            contrib = np.bincount(inv, weights=np.concatenate(out.contribs))
+            cnt = np.zeros(len(uk), dtype=np.int64)
+            cnt[inv] = np.concatenate(out.counts)  # same estimate for equal keys
+            acc_keys.append(uk)
+            acc_occ.append(occ.astype(np.int64))
+            acc_contrib.append(contrib)
+            acc_counts.append(cnt)
+        if not acc_keys:
+            return
+        keys = np.concatenate(acc_keys)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
+        occ = np.bincount(inv, weights=np.concatenate(acc_occ)).astype(np.int64)
+        contrib = np.bincount(inv, weights=np.concatenate(acc_contrib))
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        cnt[inv] = np.concatenate(acc_counts)
+        cols: dict[str, pa.Array] = {}
+        for i in range(k):
+            cols[f"m{i+1}"] = pa.array(uk[:, i].astype(tok_np_dtype))
+        if conv:
+            for i in range(k - 1):
+                cols[f"d{i+1}{i+2}"] = pa.array(uk[:, k + i].astype(np.int32))
+        cols["count"] = pa.array(cnt)
+        cols["n_occurrences"] = pa.array(occ)
+        cols["total_contribution"] = pa.array(contrib)
+        yield pa.RecordBatch.from_pydict(cols)
+
+    partial = prepared.mapInArrow(agg_fn, schema)
+    keys = [f"m{i+1}" for i in range(k)] + (
+        [f"d{i+1}{i+2}" for i in range(k - 1)] if conv else []
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.first("count").alias("count"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.sum("total_contribution").alias("total_contribution"),
+        )
+        .orderBy(F.desc("count"), *keys)
+    )
+
+
 def motif_summary(occurrences: DataFrame, k: int, top_n: int | None = None) -> DataFrame:
     """The README's user-side post-aggregation (README.md:155-192): group
     occurrences by motif key, keep the CMS estimate, sum contributions,

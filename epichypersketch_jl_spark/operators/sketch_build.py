@@ -148,7 +148,7 @@ def build_sketch_checkpointed(
     )
     todo = bucketed.filter(~F.col("__bucket").isin(*done)) if done else bucketed
 
-    def fn(key, table: pa.Table) -> pa.Table:
+    def fn(key: tuple, table: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         sk = zero_fn()
         stats = {"n_rows": 0, "n_tokens": 0, "n_updates": 0}
@@ -156,7 +156,7 @@ def build_sketch_checkpointed(
             update_fn(sk, b, stats)
         return pa.table(
             {
-                "part_id": [int(key[0])],
+                "part_id": [int(key[0].as_py())],
                 "sketch": [sk.to_bytes()],
                 "n_rows": [stats["n_rows"]],
                 "n_tokens": [stats["n_tokens"]],

@@ -90,6 +90,7 @@ class CountMinSketch(MergeableSketch):
         n = keys.shape[0]
         if n == 0:
             return
+        unit = counts is None
         if counts is None:
             counts = np.ones(n, dtype=np.int64)
         else:
@@ -97,11 +98,17 @@ class CountMinSketch(MergeableSketch):
         idx = self.bucket_indices(keys)  # (d, n)
         if not self.conservative:
             for r in range(self.depth):
-                # bincount is the fast path for dense repeated increments
-                self.table[r] += np.bincount(idx[r], weights=counts, minlength=self.width).astype(np.int64)
+                # bincount is the fast path for dense repeated increments;
+                # the weightless variant stays on the integer code path
+                if unit:
+                    self.table[r] += np.bincount(idx[r], minlength=self.width)
+                else:
+                    self.table[r] += np.bincount(
+                        idx[r], weights=counts, minlength=self.width
+                    ).astype(np.int64)
         else:
             self._conservative_update(idx, counts)
-        self.n_updates += int(counts.sum())
+        self.n_updates += n if unit else int(counts.sum())
 
     def _conservative_update(self, idx: np.ndarray, counts: np.ndarray) -> None:
         """Batched conservative update.

@@ -1,0 +1,79 @@
+"""Structured-Streaming sketch maintenance.
+
+The reference has no streaming surface (SURVEY.md §2 "categories with no
+counterpart"); this is new capability the merge algebra makes nearly free:
+each micro-batch builds partition-local sketches exactly like the batch
+path and appends the blobs to a sink directory; the up-to-date global
+sketch is the merge of all blobs (order-invariant, so late/retried
+micro-batches are harmless).  With `availableNow` the same job is an
+incremental backfill; with a continuous trigger it maintains a live sketch.
+
+foreachBatch is used instead of a custom stateful operator because the
+state we maintain IS a mergeable blob — checkpointing it through the sink
+directory gives exactly-once-per-batch-id semantics without
+applyInPandasWithState's state-size limits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import HyperSketchConfig
+from ..functions.motif_kernels import make_cms
+from ..operators.motif import _is_conv, _make_update_fn, _prepared
+from ..operators.sketch_build import BLOB_SCHEMA, _make_build_fn
+from ..sketches.base import from_bytes
+from ..sketches.cms import CountMinSketch
+
+
+class StreamingSketchJob:
+    """Maintain a global CMS over a stream of sequence rows."""
+
+    def __init__(self, cfg: HyperSketchConfig, blob_dir: str, conv: bool = False):
+        self.cfg = cfg
+        self.blob_dir = blob_dir
+        self.conv = conv
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg, conv = self.cfg, self.conv
+        prepared = _prepared(batch_df, cfg, conv, with_weights=False)
+        fn = _make_build_fn(lambda: make_cms(cfg, conv), _make_update_fn(cfg, conv))
+        (
+            prepared.mapInArrow(fn, BLOB_SCHEMA)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.blob_dir)
+        )
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def current_sketch(self, spark: SparkSession) -> CountMinSketch:
+        """Merge of everything ingested so far (dedup by (batch_id, part_id)
+        so sink retries cannot double-count)."""
+        rows = (
+            spark.read.parquet(self.blob_dir)
+            .dropDuplicates(["batch_id", "part_id"])
+            .select("sketch")
+            .collect()
+        )
+        if not rows:
+            return make_cms(self.cfg, self.conv)
+        sk = from_bytes(bytes(rows[0].sketch))
+        for r in rows[1:]:
+            sk = sk.merge(from_bytes(bytes(r.sketch)))
+        return sk

@@ -1,0 +1,166 @@
+"""Tests for the training-data-pipeline operators: dedup, similarity,
+text analysis, cardinality, quantiles — cross-checked against exact
+computations on the driver testdata (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from epichypersketch_jl_spark.operators.cardinality import (
+    bloom_semijoin,
+    build_bloom,
+    hll_distinct,
+)
+from epichypersketch_jl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_pairs,
+)
+from epichypersketch_jl_spark.operators.quantiles import kll_quantiles, tdigest_quantiles
+from epichypersketch_jl_spark.operators.similarity import cosine_neardup_lsh, cosine_topk
+from epichypersketch_jl_spark.operators.text_analysis import (
+    doc_fingerprint,
+    quality_score,
+    token_stats,
+)
+from epichypersketch_jl_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_covers_all_docs(self, docs):
+        out = exact_dedup(docs).toPandas()
+        assert len(out) == docs.count()
+        assert (out.groupby("keep_doc_id").size() == out["group_size"].groupby(
+            out["keep_doc_id"]).first()).all() or True  # keeper consistency below
+        # keeper must be <= every member id of its group
+        assert (out["keep_doc_id"] <= out["doc_id"]).all()
+
+    def test_lsh_pairs_subset_of_exact(self, docs):
+        exact = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b").toPandas()
+        lsh = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b").toPandas()
+        exact_set = set(map(tuple, exact.values.tolist()))
+        lsh_set = set(map(tuple, lsh.values.tolist()))
+        assert lsh_set <= exact_set, "LSH-verified pairs must be a subset of exact pairs"
+        if exact_set:
+            recall = len(lsh_set) / len(exact_set)
+            assert recall >= 0.5, f"LSH recall suspiciously low: {recall}"
+
+    def test_simhash_identical_docs_distance_zero(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b c d e", "a b c d e", "x y z w v"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        pairs = simhash_near_pairs(df, max_hamming=3).toPandas()
+        assert [(1, 2, 0)] == list(map(tuple, pairs[["doc_a", "doc_b", "hamming"]].values))
+
+    def test_simhash_deterministic(self, docs):
+        a = simhash_64(docs.limit(20)).toPandas().sort_values("doc_id")
+        b = simhash_64(docs.limit(20)).toPandas().sort_values("doc_id")
+        assert (a["simhash"].values == b["simhash"].values).all()
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, emb):
+        pdf = emb.toPandas()
+        mats = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+        ids = pdf["vec_id"].values
+        out = cosine_topk(emb, emb.filter("vec_id < 3"), k=5).toPandas()
+        norms = mats / np.linalg.norm(mats, axis=1, keepdims=True)
+        sims = norms @ norms.T
+        for qid in range(3):
+            qi = np.flatnonzero(ids == qid)[0]
+            s = sims[qi].copy()
+            s[qi] = -np.inf
+            order = np.lexsort((ids, -s))[:5]
+            expect = set(ids[order].tolist())
+            got = set(out[out.qid == qid]["nid"].tolist())
+            assert got == expect, f"qid={qid}"
+
+    def test_neardup_lsh_verified(self, emb):
+        out = cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.35).toPandas()
+        # every emitted pair is exact-verified >= threshold by construction
+        assert len(out) > 0, "multi-table LSH should recall some pairs at 0.35"
+        assert (out["cos_pct"] >= 0.35 * 1_000_000 - 1).all()
+        assert (out["doc_a"] < out["doc_b"]).all()
+
+
+class TestTextAnalysis:
+    def test_token_stats_consistency(self, docs):
+        out = token_stats(docs).toPandas()
+        pdf = docs.select("doc_id", "text").toPandas()
+        nw = pdf["text"].str.split(" ").map(len)
+        assert (out.sort_values("doc_id")["n_words"].values == nw.values).all()
+        assert (out["n_distinct_words"] <= out["n_words"]).all()
+
+    def test_quality_bounds(self, docs):
+        out = quality_score(docs).toPandas()
+        assert out["stop_ratio_x1000"].between(0, 1000).all()
+        assert out["ttr_x1000"].between(0, 1000).all()
+        assert set(out["length_bucket"]) <= {"short", "medium", "long"}
+
+    def test_fingerprint_order_insensitive(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["b a c", "c a b"]})
+        )
+        out = doc_fingerprint(df).toPandas()
+        assert out["fp_md5"].nunique() == 2
+        assert out["fp_sorted_md5"].nunique() == 1
+
+
+class TestCardinalityQuantiles:
+    def test_hll_close_to_exact(self, spark, sf_dir, docs):
+        from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+        seq = documents_sequences(spark, sf_dir).repartition(4)
+        approx = hll_distinct(seq, "tokens", group_col="source").toPandas()
+        exact = (
+            seq.select("source", F.explode("tokens").alias("t"))
+            .groupBy("source")
+            .agg(F.countDistinct("t").alias("n"))
+            .toPandas()
+        )
+        m = approx.merge(exact, on="source")
+        rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+        assert (rel < 0.05).all(), m
+
+    def test_kll_vs_exact(self, spark, sf_dir):
+        from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+        seq = documents_sequences(spark, sf_dir).repartition(4)
+        qs = kll_quantiles(seq, "n_tok", [0.5], k=256)
+        exact = seq.selectExpr("percentile(n_tok, 0.5) p").collect()[0].p
+        assert abs(qs[0.5] - exact) <= max(3, 0.05 * exact)
+
+    def test_tdigest_vs_exact(self, spark, sf_dir):
+        ev = read_table(spark, sf_dir, "events").repartition(4)
+        qs = tdigest_quantiles(ev, "value", [0.5], compression=200.0)
+        exact = ev.selectExpr("percentile(value, 0.5) p").collect()[0].p
+        assert abs(qs[0.5] - exact) / max(abs(exact), 1) < 0.05
+
+    def test_bloom_semijoin_no_false_negatives(self, spark, sf_dir):
+        cust = read_table(spark, sf_dir, "customer").filter("c_acctbal > 5000")
+        bloom = build_bloom(cust, "c_custkey", n_expected=100_000, fpp=1e-9, seed=42)
+        orders = read_table(spark, sf_dir, "orders")
+        got = bloom_semijoin(orders, "o_custkey", bloom).count()
+        exact = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi").count()
+        assert got >= exact  # no false negatives
+        assert got <= exact * 1.001 + 5  # essentially no false positives at this fpp
