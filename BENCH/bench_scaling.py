@@ -1,0 +1,154 @@
+"""Scaling-efficiency evidence for BASELINE.json's north_rule.
+
+The rule requires >= 0.8 throughput scaling efficiency from N to 4N
+executors.  No real cluster exists in this sandbox, so (per the driver
+instruction) we run the SAME job on the SAME input at two parallelism
+levels — local[8] vs local[32] — and report tokens/sec at both plus
+efficiency = (tput_32 / tput_8) / 4.
+
+Input: a deterministic 2M-doc pre-tokenized corpus (FIXTURES.md bench tier)
+generated entirely JVM-side (xxhash64-derived lengths/tokens, no Python
+per-row) and written to parquet once; both runs scan the same files.
+
+Usage:  PYTHONPATH=/root/repo python BENCH/bench_scaling.py [--docs 2000000]
+Writes: BENCH/BASELINE.md + BENCH/scaling.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, ".cache", "scaling_corpus.parquet")
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+cpus = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+    .appName(f"ehs-scaling-{{cpus}}")
+    .config("spark.sql.shuffle.partitions", str(cpus * 4))
+    .config("spark.default.parallelism", str(cpus * 4))
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "100g")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from epichypersketch_jl_spark.config import HyperSketchConfig
+from epichypersketch_jl_spark.operators.motif import build_motif_cms
+
+df = spark.read.parquet({data!r})
+n_tokens = df.selectExpr("sum(n_tok) t").collect()[0].t
+
+# warm-up (JIT, python worker pool) on a slice, excluded from timing
+build_motif_cms(df.limit(20000), HyperSketchConfig(motif_size=2, min_count=1, seed=42))
+
+t0 = time.monotonic()
+cms, metrics = build_motif_cms(df, HyperSketchConfig(motif_size=2, min_count=1, seed=42))
+dt = time.monotonic() - t0
+print(json.dumps({{
+    "cpus": cpus, "wall_sec": round(dt, 2),
+    "n_tokens": int(n_tokens), "n_updates": int(cms.n_updates),
+    "tokens_per_sec": round(n_tokens / dt, 1),
+    "updates_per_sec": round(cms.n_updates / dt, 1),
+    "n_tasks": len(metrics),
+    "sum_task_wall_sec": round(sum(m["wall_ms"] for m in metrics) / 1000, 2),
+}}))
+spark.stop()
+"""
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (SparkSession.builder.master("local[32]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "100g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n_docs, vocab = {docs}, 50_000
+df = (spark.range(n_docs).withColumnRenamed("id", "did")
+    .withColumn("doc_id", F.format_string("doc_%09d", "did"))
+    .withColumn("n_tok", (F.pmod(F.xxhash64("did"), F.lit(90)) + 10).cast("int"))
+    .withColumn("tokens", F.transform(
+        F.sequence(F.lit(1), F.col("n_tok")),
+        lambda i: (F.pmod(F.xxhash64(F.col("did") * 1000 + i), F.lit(vocab)) + 1).cast("int")))
+    .withColumn("source", F.concat(F.lit("src_"), F.pmod(F.xxhash64("did"), F.lit(10))))
+    .select("doc_id", "tokens", "n_tok", "source"))
+df.repartition(128).write.mode("overwrite").parquet({data!r})
+print("generated", n_docs)
+spark.stop()
+"""
+
+
+def run(code: str, *args: str) -> str:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, *args], capture_output=True, text=True, env=env
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"subprocess failed: {args}")
+    return out.stdout.strip().splitlines()[-1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    if not os.path.exists(DATA):
+        print("generating corpus...", flush=True)
+        print(run(GEN.format(repo=REPO, data=DATA, docs=args.docs)))
+
+    results = {}
+    for cpus in (8, 32):
+        print(f"running local[{cpus}]...", flush=True)
+        results[cpus] = json.loads(run(RUNNER.format(repo=REPO, data=DATA), str(cpus)))
+        print(results[cpus], flush=True)
+
+    eff = (results[32]["tokens_per_sec"] / results[8]["tokens_per_sec"]) / 4.0
+    summary = {"runs": results, "scaling_efficiency_8_to_32": round(eff, 3)}
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — throughput + scaling evidence
+
+Per BASELINE.json's north_rule ("N -> 4N executors at >= 0.8 throughput
+efficiency") evidenced in-sandbox by running the SAME sketch-build job on
+the SAME input at two parallelism levels (no real cluster available).
+
+Input: deterministic 2M-doc pre-tokenized corpus (seeded JVM-side
+generation, FIXTURES.md bench tier), ~{results[8]['n_tokens']:,} tokens,
+{results[8]['n_updates']:,} CMS updates (k=2 co-occurrence pairs),
+CMS d=10 x w=54,366 (reference defaults delta=1e-4, eps=5e-5).
+
+| parallelism | wall (s) | tokens/sec | updates/sec | sum task-kernel (s) |
+|---|---|---|---|---|
+| local[8]  (N)  | {results[8]['wall_sec']} | {results[8]['tokens_per_sec']:,.0f} | {results[8]['updates_per_sec']:,.0f} | {results[8]['sum_task_wall_sec']} |
+| local[32] (4N) | {results[32]['wall_sec']} | {results[32]['tokens_per_sec']:,.0f} | {results[32]['updates_per_sec']:,.0f} | {results[32]['sum_task_wall_sec']} |
+
+**Scaling efficiency (8 -> 32) = {eff:.3f}**  (target >= 0.8)
+
+Why it scales: the build is map-only (no shuffle of raw rows); each task
+ships back one compressed CMS blob (tens of KB), merged associatively.
+The only serial section is the final driver-side merge of #task blobs.
+
+Reference baseline: the reference repo commits no benchmark results
+(BASELINE.md); its harness is single-node CPU-vs-GPU medians only.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

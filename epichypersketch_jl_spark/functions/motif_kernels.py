@@ -93,14 +93,106 @@ def build_batch(
             tm = np.take_along_axis(tm, order, axis=1)
             pm = np.take_along_axis(pm, order, axis=1)
             keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
-            cms.update_batch(keys[valid])
+            cms.update_batch_grouped(keys[valid])
         else:
             tm = np.sort(tm, axis=1)  # canonical ascending motifs (src/record.jl:237-242)
             keys = tm[:, combs]
-            cms.update_batch(keys.reshape(-1, k))
+            cms.update_batch_grouped(keys.reshape(-1, k))
     if stats is not None:
         stats.n_rows += len(lengths)
         stats.n_tokens += int(lengths.sum())
+
+
+def aggregate_batch(
+    cms: CountMinSketch,
+    tokens_flat: np.ndarray,
+    offsets: np.ndarray,
+    cfg: HyperSketchConfig,
+    positions_flat: np.ndarray | None = None,
+    weights_flat: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Aggregated extraction for one batch: returns
+    (qualifying unique keys (u, kw), n_occurrences (u,), contrib_sum (u,),
+    est (u,)) — the map-side combine done inside the kernel, so qualifying
+    occurrences are never materialized row-by-row.  Keys are deduplicated
+    per chunk via bit-packing; the CMS is queried once per DISTINCT key."""
+    k = cfg.motif_size
+    lengths = np.diff(offsets)
+    conv = positions_flat is not None
+    acc_k, acc_o, acc_c, acc_e = [], [], [], []
+    for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
+        combs = comb_index_matrix(L, k)
+        tm = gather_rows(tokens_flat, offsets, rows, L)
+        wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
+        if conv:
+            pm = gather_rows(positions_flat, offsets, rows, L)
+            order = np.argsort(pm, axis=1, kind="stable")
+            tm = np.take_along_axis(tm, order, axis=1)
+            pm = np.take_along_axis(pm, order, axis=1)
+            if wm is not None:
+                wm = np.take_along_axis(wm, order, axis=1)
+            keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
+            flat_keys = keys[valid]
+            contrib = wm[:, combs].sum(axis=-1)[valid] if wm is not None else None
+        else:
+            if wm is not None:
+                order = np.argsort(tm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
+                wm = np.take_along_axis(wm, order, axis=1)
+                contrib = wm[:, combs].sum(axis=-1).reshape(-1)
+            else:
+                tm = np.sort(tm, axis=1)
+                contrib = None
+            flat_keys = tm[:, combs].reshape(-1, k)
+        if flat_keys.shape[0] == 0:
+            continue
+        flat_keys = np.ascontiguousarray(flat_keys, dtype=np.int64)
+        packed = CountMinSketch._pack_keys(flat_keys)
+        if packed is not None:
+            uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+            ukeys = flat_keys[first_idx]
+        else:
+            ukeys, first_idx, inv = np.unique(
+                flat_keys, axis=0, return_index=True, return_inverse=True
+            )
+        occ = np.bincount(inv).astype(np.int64)
+        csum = (
+            np.bincount(inv, weights=contrib)
+            if contrib is not None
+            else occ.astype(np.float64) * float(k)
+        )
+        est = cms.estimate(ukeys)
+        m = est >= cfg.min_count
+        if m.any():
+            acc_k.append(ukeys[m])
+            acc_o.append(occ[m])
+            acc_c.append(csum[m])
+            acc_e.append(est[m])
+    if not acc_k:
+        kw = 2 * k - 1 if conv else k
+        return (
+            np.empty((0, kw), np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.int64),
+        )
+    keys = np.concatenate(acc_k)
+    occ = np.concatenate(acc_o)
+    csum = np.concatenate(acc_c)
+    est = np.concatenate(acc_e)
+    # re-combine across chunks
+    packed = CountMinSketch._pack_keys(keys)
+    if packed is not None:
+        uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+        ukeys = keys[first_idx]
+    else:
+        ukeys, first_idx, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    return (
+        ukeys,
+        np.bincount(inv, weights=occ).astype(np.int64),
+        np.bincount(inv, weights=csum),
+        est[first_idx],
+    )
 
 
 @dataclass
@@ -144,7 +236,10 @@ def extract_batch(
             tok_sel = tm[:, combs]
             pos_sel = pm[:, combs]
             keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len)
-            est = cms.estimate(keys.reshape(-1, keys.shape[-1])).reshape(keys.shape[:2])
+            # clamp invalid (overlapping) placements to key 0 so the packed
+            # dedup fast path stays applicable; their estimates are masked out
+            keys = np.where(valid[..., None], keys, 0)
+            est = cms.estimate_grouped(keys.reshape(-1, keys.shape[-1])).reshape(keys.shape[:2])
             sel = valid & (est >= cfg.min_count)
             ri, ci = np.nonzero(sel)
             if ri.size == 0:
@@ -154,12 +249,14 @@ def extract_batch(
             out.starts.append(pos_sel[ri, ci, 0])
             out.ends.append(pos_sel[ri, ci, -1] + cfg.filter_len - 1)
         else:
-            order = np.argsort(tm, axis=1, kind="stable")
-            tm = np.take_along_axis(tm, order, axis=1)
             if wm is not None:
+                order = np.argsort(tm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
                 wm = np.take_along_axis(wm, order, axis=1)
+            else:
+                tm = np.sort(tm, axis=1)
             keys = tm[:, combs]
-            est = cms.estimate(keys.reshape(-1, k)).reshape(keys.shape[:2])
+            est = cms.estimate_grouped(keys.reshape(-1, k)).reshape(keys.shape[:2])
             sel = est >= cfg.min_count
             ri, ci = np.nonzero(sel)
             if ri.size == 0:

@@ -241,10 +241,11 @@ def motif_counts(
     key_cols = k + (k - 1 if conv else 0)
 
     def agg_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..functions.motif_kernels import aggregate_batch
         from ..sketches.base import from_bytes as _fb
 
         local_cms = _fb(blob_bc.value)
-        acc_keys, acc_counts, acc_contrib, acc_occ = [], [], [], []
+        acc = []  # (keys, occ, contrib, est) per batch
         tok_np_dtype = np.int32
         for batch in batches:
             tok_flat, offsets = list_column_to_numpy(batch.column(tok_col))
@@ -256,39 +257,36 @@ def motif_counts(
             if has_weights:
                 w_flat, _ = list_column_to_numpy(batch.column(w_col))
                 w_flat = w_flat.astype(np.float64)
-            out = extract_batch(
+            res = aggregate_batch(
                 local_cms, tok_flat, offsets, cfg, positions_flat=pos_flat, weights_flat=w_flat
             )
-            if not out.row_idx:
-                continue
-            motifs = np.concatenate(out.motifs)
-            if conv:
-                motifs = np.concatenate([motifs, np.concatenate(out.gaps)], axis=1)
-            # per-batch combine
-            uk, inv = np.unique(motifs, axis=0, return_inverse=True)
-            occ = np.bincount(inv)
-            contrib = np.bincount(inv, weights=np.concatenate(out.contribs))
-            cnt = np.zeros(len(uk), dtype=np.int64)
-            cnt[inv] = np.concatenate(out.counts)  # same estimate for equal keys
-            acc_keys.append(uk)
-            acc_occ.append(occ.astype(np.int64))
-            acc_contrib.append(contrib)
-            acc_counts.append(cnt)
-        if not acc_keys:
+            if len(res[0]):
+                acc.append(res)
+        if not acc:
             return
-        keys = np.concatenate(acc_keys)
-        uk, inv = np.unique(keys, axis=0, return_inverse=True)
-        occ = np.bincount(inv, weights=np.concatenate(acc_occ)).astype(np.int64)
-        contrib = np.bincount(inv, weights=np.concatenate(acc_contrib))
-        cnt = np.zeros(len(uk), dtype=np.int64)
-        cnt[inv] = np.concatenate(acc_counts)
+        keys = np.concatenate([a[0] for a in acc])
+        occ = np.concatenate([a[1] for a in acc])
+        contrib = np.concatenate([a[2] for a in acc])
+        est = np.concatenate([a[3] for a in acc])
+        packed = type(local_cms)._pack_keys(keys)
+        if packed is not None:
+            _, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+        else:
+            _, first_idx, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+        uk = keys[first_idx]
+        occ = np.bincount(inv, weights=occ).astype(np.int64)
+        contrib = np.bincount(inv, weights=contrib)
+        cnt = est[first_idx]
         cols: dict[str, pa.Array] = {}
-        for i in range(k):
-            cols[f"m{i+1}"] = pa.array(uk[:, i].astype(tok_np_dtype))
         if conv:
+            for i in range(k):
+                cols[f"m{i+1}"] = pa.array(uk[:, 2 * i].astype(tok_np_dtype))
             for i in range(k - 1):
-                cols[f"d{i+1}{i+2}"] = pa.array(uk[:, k + i].astype(np.int32))
-        cols["count"] = pa.array(cnt)
+                cols[f"d{i+1}{i+2}"] = pa.array(uk[:, 2 * i + 1].astype(np.int32))
+        else:
+            for i in range(k):
+                cols[f"m{i+1}"] = pa.array(uk[:, i].astype(tok_np_dtype))
+        cols["count"] = pa.array(cnt.astype(np.int64))
         cols["n_occurrences"] = pa.array(occ)
         cols["total_contribution"] = pa.array(contrib)
         yield pa.RecordBatch.from_pydict(cols)

@@ -102,13 +102,30 @@ def build_sketch_distributed(
     update_fn: UpdateFn,
     *,
     tree_depth: int = 2,
+    collect_threshold: int = 256,
 ) -> tuple[MergeableSketch, list[dict]]:
     """Fast path: one map-only pass, no shuffle of raw rows.
 
-    Returns (merged sketch, per-task metrics).  One blob per input partition;
-    blobs are reduced with treeReduce so the driver receives exactly one.
+    Returns (merged sketch, per-task metrics).  One (compressed) blob per
+    input partition.  Merge strategy is adaptive:
+      * small fan-in (local mode, <= collect_threshold partitions): one job,
+        collect blobs, merge driver-side — no extra stages;
+      * large fan-in (real clusters): treeReduce with depth 2, so the driver
+        receives exactly one blob regardless of task count.
     """
     out = df.mapInArrow(_make_build_fn(zero_fn, update_fn), BLOB_SCHEMA)
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts <= collect_threshold:
+        rows = out.collect()  # single job
+        if not rows:
+            return zero_fn(), []
+        sk = from_bytes(bytes(rows[0].sketch))
+        for r in rows[1:]:
+            sk = sk.merge_inplace(from_bytes(bytes(r.sketch))) if hasattr(
+                sk, "merge_inplace"
+            ) else sk.merge(from_bytes(bytes(r.sketch)))
+        metrics = [{k: v for k, v in r.asDict().items() if k != "sketch"} for r in rows]
+        return sk, metrics
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         blob_rdd = out.select("sketch").rdd.map(lambda r: bytes(r[0]))

@@ -63,6 +63,7 @@ class CountMinSketch(MergeableSketch):
         self.coeffs = rng.integers(
             1, self.depth * self.width, size=(self.depth, self.key_width), dtype=np.int64
         )
+        self._coeffs_f = self.coeffs.T.astype(np.float64)  # BLAS fast path
         if _table is not None:
             self.table = _table
         else:
@@ -71,15 +72,97 @@ class CountMinSketch(MergeableSketch):
 
     # ------------------------------------------------------------------ hash
     def bucket_indices(self, keys: np.ndarray) -> np.ndarray:
-        """(n, key_width) int array -> (d, n) bucket indices."""
+        """(n, key_width) int array -> (d, n) bucket indices.
+
+        Semantically the reference's double mod, `(Σ t_j·c_rj) % (d·w) % w`
+        (src/count_gpu.jl:133-136), computed as a single `% w` — identical
+        because w | d·w.  Two implementations:
+          * float64 GEMM fast path when every product term fits exactly in
+            a double (the common case: token ids ≪ 2^31): BLAS matmul +
+            exact float modulus with ±w fixup — ~5-10x faster than numpy's
+            BLAS-less integer matmul;
+          * exact int64 path otherwise.
+        """
         keys = np.ascontiguousarray(keys, dtype=np.int64)
         if keys.ndim == 1:
             keys = keys[:, None]
         if keys.shape[1] != self.key_width:
             raise ValueError(f"key width {keys.shape[1]} != {self.key_width}")
-        # (n, d): double mod exactly as the reference's final index calc.
+        n, k = keys.shape
+        if n:
+            kmax = int(keys.max())
+            kmin = int(keys.min())
+            if kmin >= 0 and (kmax + 1.0) * (self.depth * self.width) * k < 2.0**53:
+                raw = keys.astype(np.float64) @ self._coeffs_f  # (n, d) exact ints
+                q = np.floor(raw / self.width)
+                r = raw - q * self.width
+                idx = r.astype(np.int64)
+                # float division can misplace floor by one ulp-step
+                np.subtract(idx, self.width, out=idx, where=idx >= self.width)
+                np.add(idx, self.width, out=idx, where=idx < 0)
+                return idx.T
         raw = keys @ self.coeffs.T
-        return (raw % (self.depth * self.width) % self.width).T
+        return (raw % self.width).T
+
+    # ------------------------------------------------------------- key dedup
+    @staticmethod
+    def _pack_keys(keys: np.ndarray) -> np.ndarray | None:
+        """Bijectively pack non-negative (n, k) int rows into one int64 per
+        row when the per-column bit widths sum to <= 63; else None."""
+        n, k = keys.shape
+        if n == 0:
+            return None
+        maxs = keys.max(axis=0)
+        mins = keys.min(axis=0)
+        if int(mins.min()) < 0:
+            return None
+        bits = [max(1, int(m).bit_length()) for m in maxs]
+        if sum(bits) > 63:
+            return None
+        packed = keys[:, 0].copy()
+        for j in range(1, k):
+            packed <<= bits[j]
+            packed |= keys[:, j]
+        return packed
+
+    @staticmethod
+    def _dedup_worthwhile(packed: np.ndarray) -> bool:
+        """Sample-based distinct-ratio heuristic: dedup only when the key
+        stream is actually repetitive (zipfy corpora at web scale are; a
+        uniform-random stream is not)."""
+        n = len(packed)
+        if n < 4096:
+            return True
+        sample = packed[:: max(1, n // 4096)][:4096]
+        return np.unique(sample).size < 0.6 * sample.size
+
+    def update_batch_grouped(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """update_batch with duplicate-key folding: hash each DISTINCT key
+        once, scatter with multiplicity weights.  Orders of magnitude faster
+        on heavy-tailed token streams; falls back to the direct path when
+        keys are mostly distinct or unpackable."""
+        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        if keys.ndim == 1:
+            keys = keys[:, None]
+        packed = self._pack_keys(keys)
+        if packed is None or not self._dedup_worthwhile(packed):
+            return self.update_batch(keys, counts)
+        uniq, first_idx, ucnt = np.unique(packed, return_index=True, return_counts=True)
+        c = ucnt.astype(np.int64) if counts is None else np.bincount(
+            np.searchsorted(uniq, packed), weights=counts
+        ).astype(np.int64)
+        self.update_batch(keys[first_idx], c)
+
+    def estimate_grouped(self, keys: np.ndarray) -> np.ndarray:
+        """estimate() with duplicate-key folding (same heuristic)."""
+        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        if keys.ndim == 1:
+            keys = keys[:, None]
+        packed = self._pack_keys(keys)
+        if packed is None or not self._dedup_worthwhile(packed):
+            return self.estimate(keys)
+        uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+        return self.estimate(keys[first_idx])[inv]
 
     # ---------------------------------------------------------------- update
     def update_batch(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
@@ -167,9 +250,18 @@ class CountMinSketch(MergeableSketch):
         return self
 
     # ------------------------------------------------------------- serialize
+    # Blobs travel through shuffles / broadcasts / checkpoints constantly, so
+    # their size is on the merge critical path: narrow to the smallest dtype
+    # that holds the current max counter, then zlib (partition sketches are
+    # sparse/low-entropy; 4.3 MB int64 -> typically < 200 KB).
     def _payload(self) -> bytes:
+        import zlib
+
+        tmax = int(self.table.max()) if self.table.size else 0
+        dtype = np.int16 if tmax < 2**15 else np.int32 if tmax < 2**31 else np.int64
+        body = zlib.compress(np.ascontiguousarray(self.table, dtype=dtype).tobytes(), 1)
         hdr = struct.pack(
-            "<iiiqBddq",
+            "<iiiqBddqB",
             self.depth,
             self.width,
             self.key_width,
@@ -178,16 +270,24 @@ class CountMinSketch(MergeableSketch):
             self.delta,
             self.epsilon,
             self.n_updates,
+            dtype().itemsize,
         )
-        return hdr + self.table.tobytes()
+        return hdr + body
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "CountMinSketch":
-        hsz = struct.calcsize("<iiiqBddq")
-        depth, width, key_width, seed, cons, delta, eps, n_up = struct.unpack(
-            "<iiiqBddq", payload[:hsz]
+        import zlib
+
+        hsz = struct.calcsize("<iiiqBddqB")
+        depth, width, key_width, seed, cons, delta, eps, n_up, isz = struct.unpack(
+            "<iiiqBddqB", payload[:hsz]
         )
-        table = np.frombuffer(payload[hsz:], dtype=np.int64).reshape(depth, width).copy()
+        dtype = {2: np.int16, 4: np.int32, 8: np.int64}[isz]
+        table = (
+            np.frombuffer(zlib.decompress(payload[hsz:]), dtype=dtype)
+            .reshape(depth, width)
+            .astype(np.int64)
+        )
         return cls(
             delta=delta,
             epsilon=eps,
