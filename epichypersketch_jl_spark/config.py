@@ -19,7 +19,9 @@ DEFAULT_EPSILON = 5e-5
 # Internal cap on (rows_in_chunk * C(L,k)) cells materialized at once inside
 # a kernel — the Spark analog of the reference's memory planner
 # (src/memory.jl:97-148): bound peak memory per task, not per GPU.
-DEFAULT_MAX_CELLS = 4_000_000
+# 512k keeps the per-chunk stream working set near cache-resident, which
+# measured ~40-75% faster than 4M under full-box concurrency (DRAM-bound).
+DEFAULT_MAX_CELLS = 512_000
 
 
 def cms_dims(delta: float, epsilon: float) -> tuple[int, int]:

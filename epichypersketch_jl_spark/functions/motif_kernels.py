@@ -59,7 +59,7 @@ def _conv_keys(
     gaps = pos_sel[..., 1:] - pos_sel[..., :-1] - filter_len
     valid = (gaps >= 0).all(axis=-1) if gaps.shape[-1] else np.ones(tok_sel.shape[:2], bool)
     k = tok_sel.shape[-1]
-    keys = np.empty(tok_sel.shape[:2] + (2 * k - 1,), dtype=np.int64)
+    keys = np.empty(tok_sel.shape[:2] + (2 * k - 1,), dtype=np.result_type(tok_sel.dtype, np.int32))
     keys[..., 0::2] = tok_sel
     keys[..., 1::2] = gaps
     return keys, valid
@@ -103,6 +103,52 @@ def build_batch(
         stats.n_tokens += int(lengths.sum())
 
 
+def _fold_keys(
+    flat_keys: np.ndarray,
+    k: int,
+    occ_weights: np.ndarray | None = None,
+    contrib_weights: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group duplicate key rows: returns (unique_keys, occurrence_sum,
+    contribution_sum).  Dense packed spaces use O(n) bincount; wider packed
+    spaces use sort-based unique; unpackable keys use unique(axis=0)."""
+    packed, bits = CountMinSketch._pack_keys_info(flat_keys)
+    if packed is not None and sum(bits) <= CountMinSketch.BINCOUNT_BITS:
+        space = 1 << sum(bits)
+        occ_d = (
+            np.bincount(packed, minlength=space)
+            if occ_weights is None
+            else np.bincount(packed, weights=occ_weights, minlength=space)
+        )
+        nz = np.flatnonzero(occ_d)
+        ukeys = CountMinSketch._unpack_keys(nz, bits)
+        occ = occ_d[nz].astype(np.int64)
+        csum = (
+            np.bincount(packed, weights=contrib_weights, minlength=space)[nz]
+            if contrib_weights is not None
+            else occ.astype(np.float64) * float(k)
+        )
+        return ukeys, occ, csum
+    if packed is not None:
+        _, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+        ukeys = flat_keys[first_idx]
+    else:
+        ukeys, first_idx, inv = np.unique(
+            flat_keys, axis=0, return_index=True, return_inverse=True
+        )
+    occ = (
+        np.bincount(inv).astype(np.int64)
+        if occ_weights is None
+        else np.bincount(inv, weights=occ_weights).astype(np.int64)
+    )
+    csum = (
+        np.bincount(inv, weights=contrib_weights)
+        if contrib_weights is not None
+        else occ.astype(np.float64) * float(k)
+    )
+    return ukeys, occ, csum
+
+
 def aggregate_batch(
     cms: CountMinSketch,
     tokens_flat: np.ndarray,
@@ -119,7 +165,7 @@ def aggregate_batch(
     k = cfg.motif_size
     lengths = np.diff(offsets)
     conv = positions_flat is not None
-    acc_k, acc_o, acc_c, acc_e = [], [], [], []
+    acc_k, acc_o, acc_c = [], [], []
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         combs = comb_index_matrix(L, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
@@ -146,28 +192,15 @@ def aggregate_batch(
             flat_keys = tm[:, combs].reshape(-1, k)
         if flat_keys.shape[0] == 0:
             continue
-        flat_keys = np.ascontiguousarray(flat_keys, dtype=np.int64)
-        packed = CountMinSketch._pack_keys(flat_keys)
-        if packed is not None:
-            uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
-            ukeys = flat_keys[first_idx]
-        else:
-            ukeys, first_idx, inv = np.unique(
-                flat_keys, axis=0, return_index=True, return_inverse=True
-            )
-        occ = np.bincount(inv).astype(np.int64)
-        csum = (
-            np.bincount(inv, weights=contrib)
-            if contrib is not None
-            else occ.astype(np.float64) * float(k)
-        )
+        if flat_keys.ndim != 2 or not flat_keys.flags.c_contiguous:
+            flat_keys = np.ascontiguousarray(flat_keys)
+        ukeys, occ, csum = _fold_keys(flat_keys, k, contrib_weights=contrib)
         est = cms.estimate(ukeys)
         m = est >= cfg.min_count
         if m.any():
             acc_k.append(ukeys[m])
             acc_o.append(occ[m])
             acc_c.append(csum[m])
-            acc_e.append(est[m])
     if not acc_k:
         kw = 2 * k - 1 if conv else k
         return (
@@ -179,20 +212,9 @@ def aggregate_batch(
     keys = np.concatenate(acc_k)
     occ = np.concatenate(acc_o)
     csum = np.concatenate(acc_c)
-    est = np.concatenate(acc_e)
-    # re-combine across chunks
-    packed = CountMinSketch._pack_keys(keys)
-    if packed is not None:
-        uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
-        ukeys = keys[first_idx]
-    else:
-        ukeys, first_idx, inv = np.unique(keys, axis=0, return_index=True, return_inverse=True)
-    return (
-        ukeys,
-        np.bincount(inv, weights=occ).astype(np.int64),
-        np.bincount(inv, weights=csum),
-        est[first_idx],
-    )
+    # re-combine across chunks; estimates are key-determined, recompute once
+    ukeys, uocc, ucsum = _fold_keys(keys, k, occ_weights=occ, contrib_weights=csum)
+    return ukeys, uocc, ucsum, cms.estimate(ukeys)
 
 
 @dataclass

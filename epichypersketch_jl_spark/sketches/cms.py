@@ -63,7 +63,6 @@ class CountMinSketch(MergeableSketch):
         self.coeffs = rng.integers(
             1, self.depth * self.width, size=(self.depth, self.key_width), dtype=np.int64
         )
-        self._coeffs_f = self.coeffs.T.astype(np.float64)  # BLAS fast path
         if _table is not None:
             self.table = _table
         else:
@@ -76,77 +75,103 @@ class CountMinSketch(MergeableSketch):
 
         Semantically the reference's double mod, `(Σ t_j·c_rj) % (d·w) % w`
         (src/count_gpu.jl:133-136), computed as a single `% w` — identical
-        because w | d·w.  Two implementations:
-          * float64 GEMM fast path when every product term fits exactly in
-            a double (the common case: token ids ≪ 2^31): BLAS matmul +
-            exact float modulus with ±w fixup — ~5-10x faster than numpy's
-            BLAS-less integer matmul;
-          * exact int64 path otherwise.
+        because w | d·w.  One int64 matmul + one in-place modulus + one
+        int32 narrowing, returned row-contiguous (d, n) so per-row bincount/
+        gather reads stream sequentially.  Huge key values are pre-reduced
+        `% w` first (valid: (a mod w)·c ≡ a·c (mod w)), which caps every
+        product at w·d·w < 2^36 — no overflow for any input.
         """
-        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
         if keys.shape[1] != self.key_width:
             raise ValueError(f"key width {keys.shape[1]} != {self.key_width}")
-        n, k = keys.shape
-        if n:
-            kmax = int(keys.max())
-            kmin = int(keys.min())
-            if kmin >= 0 and (kmax + 1.0) * (self.depth * self.width) * k < 2.0**53:
-                raw = keys.astype(np.float64) @ self._coeffs_f  # (n, d) exact ints
-                q = np.floor(raw / self.width)
-                r = raw - q * self.width
-                idx = r.astype(np.int64)
-                # float division can misplace floor by one ulp-step
-                np.subtract(idx, self.width, out=idx, where=idx >= self.width)
-                np.add(idx, self.width, out=idx, where=idx < 0)
-                return idx.T
-        raw = keys @ self.coeffs.T
-        return (raw % self.width).T
+        if keys.size and (
+            int(keys.max()) >= 2**40 or int(keys.min()) <= -(2**40)
+        ):
+            keys = keys % self.width
+        raw = keys @ self.coeffs.T  # int64 (n, d)
+        np.remainder(raw, self.width, out=raw)
+        return np.ascontiguousarray(raw.astype(np.int32).T)
 
     # ------------------------------------------------------------- key dedup
+    # Dense-counting cap: packed key spaces up to 2^BINCOUNT_BITS use O(n)
+    # bincount + lookup tables instead of O(n log n) sort-based unique.
+    BINCOUNT_BITS = 22
+
     @staticmethod
-    def _pack_keys(keys: np.ndarray) -> np.ndarray | None:
-        """Bijectively pack non-negative (n, k) int rows into one int64 per
-        row when the per-column bit widths sum to <= 63; else None."""
-        n, k = keys.shape
-        if n == 0:
+    def _key_bits(keys: np.ndarray) -> list[int] | None:
+        """Per-column bit widths for packing, or None if unpackable
+        (negative values or > 63 total bits)."""
+        if keys.shape[0] == 0:
             return None
         maxs = keys.max(axis=0)
-        mins = keys.min(axis=0)
-        if int(mins.min()) < 0:
+        if int(keys.min()) < 0:
             return None
         bits = [max(1, int(m).bit_length()) for m in maxs]
-        if sum(bits) > 63:
-            return None
-        packed = keys[:, 0].copy()
-        for j in range(1, k):
+        return bits if sum(bits) <= 63 else None
+
+    @staticmethod
+    def _pack_with_bits(keys: np.ndarray, bits: list[int]) -> np.ndarray:
+        packed = keys[:, 0].astype(np.int64)
+        for j in range(1, keys.shape[1]):
             packed <<= bits[j]
-            packed |= keys[:, j]
+            packed |= keys[:, j].astype(np.int64) if keys.dtype != np.int64 else keys[:, j]
         return packed
 
     @staticmethod
-    def _dedup_worthwhile(packed: np.ndarray) -> bool:
-        """Sample-based distinct-ratio heuristic: dedup only when the key
-        stream is actually repetitive (zipfy corpora at web scale are; a
-        uniform-random stream is not)."""
-        n = len(packed)
-        if n < 4096:
-            return True
-        sample = packed[:: max(1, n // 4096)][:4096]
-        return np.unique(sample).size < 0.6 * sample.size
+    def _pack_keys_info(keys: np.ndarray) -> tuple[np.ndarray | None, list[int] | None]:
+        """Bijectively pack non-negative (n, k) int rows into one int64 per
+        row when the per-column bit widths sum to <= 63; else (None, None).
+        Returns (packed, per-column bit widths)."""
+        bits = CountMinSketch._key_bits(keys)
+        if bits is None:
+            return None, None
+        return CountMinSketch._pack_with_bits(keys, bits), bits
+
+    @staticmethod
+    def _pack_keys(keys: np.ndarray) -> np.ndarray | None:
+        return CountMinSketch._pack_keys_info(keys)[0]
+
+    @staticmethod
+    def _unpack_keys(packed: np.ndarray, bits: list[int]) -> np.ndarray:
+        """Inverse of _pack_keys_info for the given bit layout."""
+        k = len(bits)
+        out = np.empty((len(packed), k), dtype=np.int64)
+        v = packed.copy()
+        for j in range(k - 1, 0, -1):
+            out[:, j] = v & ((1 << bits[j]) - 1)
+            v >>= bits[j]
+        out[:, 0] = v
+        return out
 
     def update_batch_grouped(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
         """update_batch with duplicate-key folding: hash each DISTINCT key
-        once, scatter with multiplicity weights.  Orders of magnitude faster
-        on heavy-tailed token streams; falls back to the direct path when
-        keys are mostly distinct or unpackable."""
-        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        once, scatter with multiplicity weights.  Dense key spaces (packed
+        width <= BINCOUNT_BITS) fold in O(n) via bincount; wider ones via
+        sort-based unique; mostly-distinct or unpackable streams fall back
+        to the direct path (sampled heuristic)."""
+        keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
-        packed = self._pack_keys(keys)
-        if packed is None or not self._dedup_worthwhile(packed):
+        bits = self._key_bits(keys)
+        if bits is None:
             return self.update_batch(keys, counts)
+        if sum(bits) <= self.BINCOUNT_BITS:
+            packed = self._pack_with_bits(keys, bits)
+            dense = (
+                np.bincount(packed, minlength=1 << sum(bits))
+                if counts is None
+                else np.bincount(packed, weights=counts, minlength=1 << sum(bits))
+            )
+            nz = np.flatnonzero(dense)
+            return self.update_batch(self._unpack_keys(nz, bits), dense[nz].astype(np.int64))
+        # decide from a sample before paying the full pack cost
+        n = keys.shape[0]
+        sample = keys[:: max(1, n // 4096)][:4096]
+        if np.unique(self._pack_with_bits(sample, bits)).size >= 0.6 * sample.shape[0]:
+            return self.update_batch(keys, counts)
+        packed = self._pack_with_bits(keys, bits)
         uniq, first_idx, ucnt = np.unique(packed, return_index=True, return_counts=True)
         c = ucnt.astype(np.int64) if counts is None else np.bincount(
             np.searchsorted(uniq, packed), weights=counts
@@ -154,20 +179,34 @@ class CountMinSketch(MergeableSketch):
         self.update_batch(keys[first_idx], c)
 
     def estimate_grouped(self, keys: np.ndarray) -> np.ndarray:
-        """estimate() with duplicate-key folding (same heuristic)."""
-        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        """estimate() with duplicate-key folding (same strategy ladder)."""
+        keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
-        packed = self._pack_keys(keys)
-        if packed is None or not self._dedup_worthwhile(packed):
+        bits = self._key_bits(keys)
+        if bits is None:
             return self.estimate(keys)
+        if sum(bits) <= self.BINCOUNT_BITS:
+            packed = self._pack_with_bits(keys, bits)
+            space = 1 << sum(bits)
+            seen = np.zeros(space, dtype=bool)
+            seen[packed] = True
+            nz = np.flatnonzero(seen)
+            lut = np.zeros(space, dtype=np.int64)
+            lut[nz] = self.estimate(self._unpack_keys(nz, bits))
+            return lut[packed]
+        n = keys.shape[0]
+        sample = keys[:: max(1, n // 4096)][:4096]
+        if np.unique(self._pack_with_bits(sample, bits)).size >= 0.6 * sample.shape[0]:
+            return self.estimate(keys)
+        packed = self._pack_with_bits(keys, bits)
         uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
         return self.estimate(keys[first_idx])[inv]
 
     # ---------------------------------------------------------------- update
     def update_batch(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
         """Add `counts[i]` (default 1) occurrences of each key row."""
-        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
         n = keys.shape[0]
@@ -213,8 +252,11 @@ class CountMinSketch(MergeableSketch):
     # ----------------------------------------------------------------- query
     def estimate(self, keys: np.ndarray) -> np.ndarray:
         """Point query: min over all d rows (true CMS min, never undercounts)."""
-        idx = self.bucket_indices(keys)  # (d, n)
-        return self.table[np.arange(self.depth)[:, None], idx].min(axis=0)
+        idx = self.bucket_indices(keys)  # (d, n) row-contiguous
+        out = self.table[0][idx[0]]
+        for r in range(1, self.depth):
+            np.minimum(out, self.table[r][idx[r]], out=out)
+        return out
 
     # ----------------------------------------------------------------- merge
     def _compat(self, other: "CountMinSketch") -> None:
