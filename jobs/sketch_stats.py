@@ -1,0 +1,69 @@
+"""spark-submit entry point for the generalized sketch family:
+HLL cardinality, KLL / t-digest quantiles, Bloom build.
+
+    spark-submit --py-files dist/ehs.zip jobs/sketch_stats.py \
+        --input seqs.parquet --sketch hll --column tokens [--group-col source]
+    ... --sketch kll --column n_tok --quantiles 0.5,0.9,0.99
+    ... --sketch tdigest --column n_tok --quantiles 0.5,0.99
+    ... --sketch bloom --column doc_id --bloom-out /path/bloom.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--sketch", choices=["hll", "kll", "tdigest", "bloom"], required=True)
+    ap.add_argument("--column", required=True)
+    ap.add_argument("--group-col", default=None)
+    ap.add_argument("--quantiles", default="0.5,0.9,0.99")
+    ap.add_argument("--p", type=int, default=14, help="HLL precision")
+    ap.add_argument("--k", type=int, default=200, help="KLL k")
+    ap.add_argument("--compression", type=float, default=200.0, help="t-digest delta")
+    ap.add_argument("--n-expected", type=int, default=1_000_000)
+    ap.add_argument("--fpp", type=float, default=0.01)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--bloom-out", default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName(f"ehs-{args.sketch}").getOrCreate()
+    df = spark.read.parquet(args.input)
+
+    if args.sketch == "hll":
+        from epichypersketch_jl_spark.operators.cardinality import hll_distinct
+
+        out = hll_distinct(df, args.column, group_col=args.group_col, p=args.p, seed=args.seed)
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    elif args.sketch in ("kll", "tdigest"):
+        qs = [float(x) for x in args.quantiles.split(",")]
+        if args.sketch == "kll":
+            from epichypersketch_jl_spark.operators.quantiles import kll_quantiles
+
+            res = kll_quantiles(df, args.column, qs, k=args.k, seed=args.seed)
+        else:
+            from epichypersketch_jl_spark.operators.quantiles import tdigest_quantiles
+
+            res = tdigest_quantiles(df, args.column, qs, compression=args.compression)
+        print(json.dumps({str(q): v for q, v in res.items()}))
+    else:
+        from epichypersketch_jl_spark.operators.cardinality import build_bloom
+
+        bloom = build_bloom(
+            df, args.column, n_expected=args.n_expected, fpp=args.fpp, seed=args.seed
+        )
+        if args.bloom_out:
+            with open(args.bloom_out, "wb") as f:
+                f.write(bloom.to_bytes())
+        print(json.dumps({"n_bits": bloom.n_bits, "fill_ratio": bloom.fill_ratio()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""End-to-end spark-submit --py-files run (north_rule execution mode)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def dist_zip():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "make_dist.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return out.stdout.strip()
+
+
+def _spark_submit(dist_zip, script, *args):
+    from pyspark import find_spark_home
+
+    spark_home = find_spark_home._find_spark_home()
+    cmd = [
+        os.path.join(spark_home, "bin", "spark-submit"),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", dist_zip,
+        os.path.join(REPO, "jobs", script),
+        *args,
+    ]
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+
+
+class TestSparkSubmit:
+    def test_enriched_configs_job(self, spark, dist_zip, tmp_path):
+        from epichypersketch_jl_spark.sources.synth import corpus_to_df, planted_motif_corpus
+
+        inp = str(tmp_path / "seqs")
+        outp = str(tmp_path / "occ")
+        metrics = str(tmp_path / "logs")
+        corpus_to_df(spark, planted_motif_corpus(), n_partitions=4).write.parquet(inp)
+
+        r = _spark_submit(
+            dist_zip,
+            "enriched_configs.py",
+            "--input", inp, "--output", outp,
+            "--k", "3", "--min-count", "8", "--summary",
+            "--metrics-dir", metrics,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        got = spark.read.parquet(outp).toPandas()
+        motifs = set(map(tuple, got[["m1", "m2", "m3"]].values.tolist()))
+        from epichypersketch_jl_spark.sources.synth import PLANTED_ORDINARY
+
+        for motif, cnt in PLANTED_ORDINARY.items():
+            if cnt >= 8:
+                assert motif in motifs
+        # lineage JSONL written
+        with open(os.path.join(metrics, "runs.jsonl")) as f:
+            rec = json.loads(f.readline())
+        assert rec["job"] == "enriched_configs"
+        assert rec["totals"]["n_updates"] > 0 and rec["n_tasks"] >= 1
