@@ -32,11 +32,13 @@ class TestPlanShape:
         assert rep["n_python_evals"] >= 1
 
     def test_filter_pushdown_to_scan(self, spark, sf_dir):
-        docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 100).select(
-            "doc_id", "text"
+        # use a table no other test caches: a cached InMemoryRelation would
+        # (correctly) replace the parquet scan and hide PushedFilters
+        df = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000).select(
+            "o_orderkey", "o_custkey"
         )
-        rep = plan_report(docs)
-        assert any("n_chars" in p for p in rep["pushed_filters"]), rep["pushed_filters"]
+        rep = plan_report(df)
+        assert any("o_totalprice" in p for p in rep["pushed_filters"]), rep["pushed_filters"]
 
     def test_repartition_by_length_plan(self, spark):
         df = corpus_to_df(spark, planted_motif_corpus(), n_partitions=4)
