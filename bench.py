@@ -71,10 +71,13 @@ def main() -> None:
         "ntok_stats": ep.q_ntok_stats,
     }
     for name, fn in bench_queries.items():
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.monotonic() - t0, 3)
+        best, n = None, 0
+        for _rep in range(2):  # best-of-2: single-box runs are noisy
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         extras[f"rows_{name}"] = n
 
     seq.unpersist()

@@ -110,15 +110,10 @@ def q_conv_motifs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=1 heavy hitters via the same pipeline."""
+    """k=1 heavy hitters via the aggregated pipeline (map-side combine)."""
     seq = _seq(spark, sf_dir)
     cfg = HyperSketchConfig(motif_size=1, min_count=HEAVY_MIN, seed=42)
-    occ = enriched_configurations(seq, cfg, validate=False)
-    return (
-        occ.groupBy("m1")
-        .agg(F.first("count").alias("count"), F.count("*").alias("n_occurrences"))
-        .orderBy("m1")
-    )
+    return motif_counts(seq, cfg).select("m1", "count", "n_occurrences").orderBy("m1")
 
 
 def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,12 +36,19 @@ def comb_index_matrix(L: int, k: int) -> np.ndarray:
     return out.reshape(c, k)
 
 
+HARD_MAX_CELLS = 32_000_000  # absolute per-chunk ceiling (~0.75 GB of i32 keys)
+MIN_ROWS_PER_CHUNK = 16  # amortize the ~40 numpy calls a chunk costs
+
+
 def iter_length_groups(lengths: np.ndarray, k: int, max_cells: int):
     """Yield (row_indices, L) chunks, grouping rows by identical length.
 
     Rows shorter than k are skipped (they admit no k-combination — the
     reference's empty-sequence filter generalized, src/record.jl:248-252).
-    Chunks are sized so len(rows) * C(L,k) * k <= max_cells.
+    Chunks target len(rows) * C(L,k) * k <= max_cells (cache-residency of
+    the kernel streams), but never fewer than MIN_ROWS_PER_CHUNK rows while
+    under HARD_MAX_CELLS — single-row chunks at large C(L,k) drown in
+    per-chunk Python overhead (measured 9x on k=3, L~99).
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     order = np.argsort(lengths, kind="stable")
@@ -53,8 +60,11 @@ def iter_length_groups(lengths: np.ndarray, k: int, max_cells: int):
         L = int(sl[s])
         if L < k:
             continue
-        c = comb(L, k)
-        rows_per_chunk = max(1, max_cells // max(1, c * k))
+        cells_per_row = max(1, comb(L, k) * k)
+        rows_per_chunk = max_cells // cells_per_row
+        if rows_per_chunk < MIN_ROWS_PER_CHUNK:
+            hard = max(max_cells, HARD_MAX_CELLS)
+            rows_per_chunk = max(1, min(MIN_ROWS_PER_CHUNK, hard // cells_per_row))
         rows = order[s:e]
         for i in range(0, len(rows), rows_per_chunk):
             yield rows[i : i + rows_per_chunk], L

@@ -57,22 +57,59 @@ def documents_sequences(
     with_positions: bool = False,
     vocab: list[str] | None = None,
 ) -> DataFrame:
-    """documents.parquet -> (doc_id, tokens, n_tok, source[, positions])."""
-    docs = read_table(spark, sf_dir, "documents")
+    """documents.parquet -> (doc_id, tokens, n_tok, source[, positions]).
+
+    Token id = 1-based rank in the sorted vocab, computed vectorized in an
+    Arrow kernel (np.searchsorted over the sorted codebook) — equivalent to
+    dense_rank in SQL, identical ids, and independent of JVM codegen warm-up
+    (an earlier array_position-per-token expression paid multi-second JIT
+    cost on first execution).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     if vocab is None:
         vocab = build_vocab(docs)
-    lit_vocab = F.array(*[F.lit(w) for w in vocab])
-    words = F.split(F.col("text"), " ")
-    tokens = F.transform(words, lambda w: F.array_position(lit_vocab, w).cast("int"))
-    out = docs.select(
-        F.col("doc_id"),
-        tokens.alias("tokens"),
-        F.size(words).cast("int").alias("n_tok"),
-        F.col("source"),
-    )
+    vocab_arr = np.array(vocab)
+
+    fields = [
+        docs.schema["doc_id"],
+        StructField("tokens", ArrayType(IntegerType(), False), False),
+        StructField("n_tok", IntegerType(), False),
+        docs.schema["source"],
+    ]
     if with_positions:
-        out = out.withColumn(
-            "positions",
-            F.sequence(F.lit(1), F.col("n_tok")).cast("array<int>"),
-        )
-    return out
+        fields.insert(3, StructField("positions", ArrayType(IntegerType(), False), False))
+    schema = StructType(fields)
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            words = pc.split_pattern(batch.column("text"), " ")
+            offsets = words.offsets.to_numpy().astype(np.int64)
+            flat = words.values.to_numpy(zero_copy_only=False).astype(str)
+            flat = flat[offsets[0] : offsets[-1]]  # align with (possibly sliced) offsets
+            ids = (np.searchsorted(vocab_arr, flat) + 1).astype(np.int32)
+            off32 = (offsets - offsets[0]).astype(np.int32)
+            toks = pa.ListArray.from_arrays(pa.array(off32), pa.array(ids))
+            lens = np.diff(offsets).astype(np.int32)
+            cols = {
+                "doc_id": batch.column("doc_id"),
+                "tokens": toks,
+                "n_tok": pa.array(lens),
+            }
+            if with_positions:
+                pos_flat = (
+                    np.arange(offsets[-1] - offsets[0], dtype=np.int32)
+                    - np.repeat(off32[:-1], lens)
+                    + 1
+                )
+                cols["positions"] = pa.ListArray.from_arrays(pa.array(off32), pa.array(pos_flat))
+            cols["source"] = batch.column("source")
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return docs.mapInArrow(fn, schema)

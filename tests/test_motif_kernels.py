@@ -45,9 +45,29 @@ class TestCombinations:
         assert sorted(seen) == sorted(expected.tolist())
 
     def test_chunking_respects_max_cells(self):
-        lengths = np.full(100, 10)
-        for rows, L in iter_length_groups(lengths, 3, max_cells=comb(10, 3) * 3 * 7):
-            assert len(rows) <= 7
+        # soft cap: 70 rows' worth of cells -> chunks of <= 70 rows
+        lengths = np.full(1000, 10)
+        for rows, L in iter_length_groups(lengths, 3, max_cells=comb(10, 3) * 3 * 70):
+            assert len(rows) <= 70
+
+    def test_chunking_min_rows_floor(self):
+        from epichypersketch_jl_spark.functions.combinations import (
+            HARD_MAX_CELLS,
+            MIN_ROWS_PER_CHUNK,
+        )
+
+        # tiny soft cap at large C(L,k): the min-rows floor must kick in
+        lengths = np.full(100, 60)
+        chunks = [len(r) for r, _ in iter_length_groups(lengths, 3, max_cells=1000)]
+        assert max(chunks) == MIN_ROWS_PER_CHUNK
+        # but never beyond the hard ceiling: enormous C(L,k) -> 1 row
+        lengths = np.full(4, 600)
+        chunks = [
+            (len(r), comb(600, 3) * 3 * len(r))
+            for r, _ in iter_length_groups(lengths, 3, max_cells=1000)
+        ]
+        assert all(cells <= max(HARD_MAX_CELLS, comb(600, 3) * 3) for _, cells in chunks)
+        assert all(n == 1 for n, _ in chunks)
 
     def test_gather(self):
         flat, off = _ragged([[1, 2], [3, 4, 5], [6, 7]])
