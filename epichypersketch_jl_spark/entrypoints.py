@@ -116,6 +116,46 @@ def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_counts(seq, cfg).select("m1", "count", "n_occurrences").orderBy("m1")
 
 
+def q_motifs_k2_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative-update CMS variant (north_star requirement).  At parity
+    widths CU estimates equal plain estimates equal exact counts, so the
+    same exact oracle applies; the CU-specific tightening under collisions
+    is covered by unit tests."""
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42, conservative=True)
+    return motif_counts(seq, cfg)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event counts (the batch shape of the streaming agg)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile over the events table."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value") * 100).cast("long").alias("total_value_x100"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact aggregates over the tokenized table (Catalyst layer)."""
     seq = documents_sequences(spark, sf_dir)
@@ -202,6 +242,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated ANN (scale path; recall < 1 so no exact oracle)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    queries = emb.filter("vec_id < 10")
+    return cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=6)
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_neardup_lsh
 
@@ -273,6 +324,9 @@ QUERIES = {
     "conv_motifs_k2": q_conv_motifs_k2,
     "heavy_tokens": q_heavy_tokens,
     "ntok_stats": q_ntok_stats,
+    "motifs_k2_conservative": q_motifs_k2_conservative,
+    "events_hourly": q_events_hourly,
+    "events_user_stats": q_events_user_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -282,6 +336,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "distinct_tokens_per_source": q_distinct_tokens_per_source,
     "hll_tokens_per_source": q_hll_tokens_per_source,
@@ -356,6 +411,29 @@ cnt AS (SELECT tok AS m1, count(*) AS c FROM toks GROUP BY tok)
 SELECT m1, c AS count, c AS n_occurrences
 FROM cnt WHERE c >= {HEAVY_MIN}
 ORDER BY m1
+""",
+    "motifs_k2_conservative": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (SELECT m1, m2, count(*) AS c FROM pairs GROUP BY m1, m2)
+SELECT m1, m2, c AS count, c AS n_occurrences,
+       CAST(2.0 * c AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {K2_MIN}
+""",
+    "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_user_stats": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS total_value_x100
+FROM events GROUP BY user_id ORDER BY user_id
 """,
     "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),

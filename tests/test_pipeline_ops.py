@@ -93,6 +93,22 @@ class TestSimilarity:
             got = set(out[out.qid == qid]["nid"].tolist())
             assert got == expect, f"qid={qid}"
 
+    def test_ivf_topk_recall(self, emb):
+        from epichypersketch_jl_spark.operators.similarity import cosine_topk_ivf
+
+        queries = emb.filter("vec_id < 5")
+        exact = cosine_topk(emb, queries, k=10).toPandas()
+        approx = cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=6).toPandas()
+        recalls = []
+        for qid in range(5):
+            e = set(exact[exact.qid == qid]["nid"])
+            a = set(approx[approx.qid == qid]["nid"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, recalls
+        # approx results are real cosines (subset of the scored universe)
+        m = approx.merge(exact, on=["qid", "nid"], suffixes=("", "_e"))
+        assert (m["cos_pct"] == m["cos_pct_e"]).all()
+
     def test_neardup_lsh_verified(self, emb):
         out = cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.35).toPandas()
         # every emitted pair is exact-verified >= threshold by construction
