@@ -194,9 +194,26 @@ def aggregate_batch(
             continue
         if flat_keys.ndim != 2 or not flat_keys.flags.c_contiguous:
             flat_keys = np.ascontiguousarray(flat_keys)
-        ukeys, occ, csum = _fold_keys(flat_keys, k, contrib_weights=contrib)
-        est = cms.estimate(ukeys)
-        m = est >= cfg.min_count
+        # adaptive order: on repetitive streams fold first (few unique keys
+        # to estimate); on mostly-distinct streams folding is a wasted sort —
+        # estimate every key, filter by min_count, fold only the survivors.
+        n = flat_keys.shape[0]
+        sample = flat_keys[:: max(1, n // 2048)][:2048]
+        s_uniq = np.unique(sample, axis=0).shape[0] if len(sample) else 0
+        if s_uniq >= 0.6 * max(len(sample), 1):
+            est_all = cms.estimate_grouped(flat_keys)
+            m_all = est_all >= cfg.min_count
+            if not m_all.any():
+                continue
+            surv = flat_keys[m_all]
+            surv_contrib = contrib[m_all] if contrib is not None else None
+            ukeys, occ, csum = _fold_keys(surv, k, contrib_weights=surv_contrib)
+            m = np.ones(len(ukeys), dtype=bool)
+            est = cms.estimate(ukeys)
+        else:
+            ukeys, occ, csum = _fold_keys(flat_keys, k, contrib_weights=contrib)
+            est = cms.estimate(ukeys)
+            m = est >= cfg.min_count
         if m.any():
             acc_k.append(ukeys[m])
             acc_o.append(occ[m])
