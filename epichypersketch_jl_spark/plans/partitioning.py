@@ -39,7 +39,10 @@ def salt_hot_keys(
     `source`).  Returns df + `__salted_key` column to shuffle on.
 
     The hot-key set is found with one small aggregate and broadcast back —
-    no sort, no sampling job.
+    no sort, no sampling job.  The salt is a deterministic hash of the row's
+    content (all columns): nondeterministic salts (random ids) change a
+    row's shuffle key on stage retry, which can double-count or drop rows
+    under fetch-failure recompute.
     """
     total = df.count()
     hot = [
@@ -51,7 +54,7 @@ def salt_hot_keys(
     ]
     if not hot:
         return df.withColumn("__salted_key", F.col(key_col).cast("string"))
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     return df.withColumn(
         "__salted_key",
         F.when(

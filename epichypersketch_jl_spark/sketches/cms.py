@@ -86,9 +86,11 @@ class CountMinSketch(MergeableSketch):
             keys = keys[:, None]
         if keys.shape[1] != self.key_width:
             raise ValueError(f"key width {keys.shape[1]} != {self.key_width}")
-        if keys.size and (
-            int(keys.max()) >= 2**40 or int(keys.min()) <= -(2**40)
-        ):
+        # overflow guard: |key| * (d*w-1) * k must stay within int64; beyond
+        # that, pre-reduce mod w (valid: (a mod w)·c ≡ a·c (mod w)), which
+        # caps every subsequent product at w·d·w·k ≪ 2^63 for any params
+        limit = (2**62) // (self.depth * self.width * max(1, keys.shape[1]))
+        if keys.size and (int(keys.max()) >= limit or int(keys.min()) <= -limit):
             keys = keys % self.width
         raw = keys @ self.coeffs.T  # int64 (n, d)
         np.remainder(raw, self.width, out=raw)

@@ -73,13 +73,14 @@ class TDigest(MergeableSketch):
     # -------------------------------------------------------------- updates
     def update_batch(self, values, weights=None) -> None:
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        mask = ~np.isnan(v)
+        v = v[mask]
         if v.size == 0:
             return
         w = (
             np.ones(v.size, dtype=np.float64)
             if weights is None
-            else np.asarray(weights, dtype=np.float64).ravel()
+            else np.asarray(weights, dtype=np.float64).ravel()[mask]
         )
         self._buf_v.append(v)
         self._buf_w.append(w)

@@ -93,8 +93,18 @@ def documents_sequences(
             offsets = words.offsets.to_numpy().astype(np.int64)
             flat = words.values.to_numpy(zero_copy_only=False).astype(str)
             flat = flat[offsets[0] : offsets[-1]]  # align with (possibly sliced) offsets
+            offsets = offsets - offsets[0]
+            # drop empty words (doubled/leading/trailing spaces): the vocab
+            # excludes '' so they must not be tokenized; oracle SQL filters
+            # them identically (w != '')
+            keep = flat != ""
+            if not keep.all():
+                cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+                lens = cs[offsets[1:]] - cs[offsets[:-1]]
+                flat = flat[keep]
+                offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             ids = (np.searchsorted(vocab_arr, flat) + 1).astype(np.int32)
-            off32 = (offsets - offsets[0]).astype(np.int32)
+            off32 = offsets.astype(np.int32)
             toks = pa.ListArray.from_arrays(pa.array(off32), pa.array(ids))
             lens = np.diff(offsets).astype(np.int32)
             cols = {
