@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-key session tracking with timeout-based session emission.
+
+This is the arbitrary-state complement to streaming/windows.py: window
+aggregations cover time-bucketed reductions; sessionization needs state the
+built-in window cannot express (gap-based session boundaries).  State per
+key = (session_start, last_ts, n_events, total_value); a session closes
+when the event-time gap exceeds `gap` (emitted on the next event) or when
+the state times out under the watermark (emitted via timeout).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double, closed_by string"
+)
+STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def _sessionize_fn(gap_ms: int):
+    def fn(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = int(ts_ms[0]), int(ts_ms[0]), 0, 0.0
+        out = []
+        for t, v in zip(ts_ms, vals):
+            if t - last > gap_ms and n > 0:
+                out.append((user_id, start, last, n, total, "gap"))
+                start, n, total = int(t), 0, 0.0
+            last = int(t)
+            n += 1
+            total += float(v)
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if out:
+            o = pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "total_value", "closed_by",
+                ],
+            )
+            o["session_start"] = pd.to_datetime(o["session_start"], unit="ms")
+            o["session_end"] = pd.to_datetime(o["session_end"], unit="ms")
+            yield o
+
+    return fn
+
+
+def sessionize(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization of an event stream.
+
+    Emits one row per closed session: closed either by a later event
+    arriving past the gap, or by event-time timeout under the watermark.
+    State is bounded: one fixed-size tuple per active key.
+    """
+    qty = {"minute": 60_000, "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
+           "second": 1_000, "seconds": 1_000}
+    num, unit = gap.split()
+    gap_ms = int(num) * qty[unit]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _sessionize_fn(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
