@@ -150,8 +150,7 @@ Additional headroom point: 8 -> 32 = {eff_8_32:.3f}.
 ### Why two brackets, and what the 8 -> 32 number means on THIS box
 
 The 8 -> 32 bracket on a single machine conflates core count with shared
-DRAM bandwidth.  Calibration on this host (tests/test_scaling_calibration
-methodology): an embarrassingly parallel pure-numpy loop over L2-resident
+DRAM bandwidth.  Calibration on this host (BENCH/calibration.py): an embarrassingly parallel pure-numpy loop over L2-resident
 data scales 8 -> 32 at ~0.95 efficiency, while the same loop over
 DRAM-resident arrays scales at ~0.44 — the box saturates memory bandwidth
 well before 32 cores, independent of any Spark or algorithm choice.  A real
