@@ -46,13 +46,19 @@ def main() -> None:
     from epichypersketch_jl_spark import entrypoints as ep
     from epichypersketch_jl_spark.config import HyperSketchConfig
     from epichypersketch_jl_spark.operators.motif import build_motif_cms
-    from epichypersketch_jl_spark.sources.tables import documents_sequences
+    from epichypersketch_jl_spark.sources.tables import tokenized_sequences
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # q0: sketch-build throughput (the BASELINE.json headline)
-    seq = documents_sequences(spark, sf_dir).repartition(cpus).cache()
+    # ingest (one-time ETL, not query work): tokenize + write-once cache
+    t0 = time.monotonic()
+    tokenized_sequences(spark, sf_dir).count()
+    extras["tokenize_sec"] = round(time.monotonic() - t0, 3)
+
+    # q0: sketch-build throughput (the BASELINE.json headline); the cache
+    # scan already yields ~cpus partitions (32 files + bytesPerCore split)
+    seq = tokenized_sequences(spark, sf_dir).cache()
     n_tokens = seq.selectExpr("sum(n_tok) as t").collect()[0].t
     t0 = time.monotonic()
     cms, metrics = build_motif_cms(seq, HyperSketchConfig(motif_size=2, min_count=1, seed=42))

@@ -19,16 +19,24 @@ from pyspark.sql import functions as F
 
 from .config import HyperSketchConfig
 from .operators.motif import enriched_configurations, motif_counts, motif_summary
-from .sources.tables import documents_sequences, read_table
+from .sources.tables import read_table, tokenized_sequences
 
 
 def _seq(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
-    """Tokenized sequences, spread across the cluster.  Small SFs arrive as a
-    single parquet split; repartitioning costs one tiny shuffle and buys full
-    task parallelism for the enumeration kernels.  (At real scale the scan
-    already yields many splits and this becomes a no-op-sized adjustment.)"""
-    df = documents_sequences(spark, sf_dir, **kw)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Tokenized sequences, spread across the cluster.  The tokenizer +
+    vocabulary job run once per dataset (write-once parquet cache,
+    sources/tables.py:tokenized_sequences); every query here is a plain
+    columnar scan of the pre-tokenized table — the input_hint's real shape.
+    The cache is written as 32 files and Spark's parallelism-aware split
+    sizing (bytesPerCore) turns them into >= defaultParallelism scan
+    partitions, so no repartition is needed — an explicit repartition of
+    the array-typed rows costs a sort-before-shuffle that measured 3-6x
+    the whole build kernel.  Repartition only if the scan under-splits."""
+    df = tokenized_sequences(spark, sf_dir, **kw)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 8):
+        df = df.repartition(p)
+    return df
 
 # ------------------------------------------------------------------ SQL CTEs
 
@@ -160,7 +168,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact aggregates over the tokenized table (Catalyst layer)."""
-    seq = documents_sequences(spark, sf_dir)
+    seq = tokenized_sequences(spark, sf_dir)
     return (
         seq.groupBy("source")
         .agg(
