@@ -126,6 +126,51 @@ def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_counts(seq, cfg).select("m1", "count", "n_occurrences").orderBy("m1")
 
 
+def q_motifs_k2_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume build (SURVEY §2 #17/#18; reference
+    partition.jl:253-345): bucket-atomic blobs are written, then the build
+    is re-run against the same checkpoint dir — the resume path must skip
+    every completed bucket and reload blobs to a byte-identical sketch.
+    The extraction then runs off the resumed sketch and must hash-match
+    motifs_k2_summary's oracle."""
+    import shutil
+    import tempfile
+
+    from .operators.motif import build_motif_cms
+
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42)
+    ckpt = tempfile.mkdtemp(prefix="ehs_ckpt_q_")
+    try:
+        cms1, _ = build_motif_cms(seq, cfg, checkpoint_dir=ckpt, n_buckets=16)
+        cms2, metrics = build_motif_cms(seq, cfg, checkpoint_dir=ckpt, n_buckets=16)
+        if cms1.to_bytes() != cms2.to_bytes():
+            raise AssertionError("resume produced a different sketch than the first build")
+        if len(metrics) != 16:
+            raise AssertionError(f"expected 16 bucket blobs, got {len(metrics)}")
+        return motif_counts(seq, cfg, cms=cms2)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_motifs_k2_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-uniform per-token weights: contribution of an occurrence is the
+    sum of its member weights (the reference's `contribution` semantics,
+    count_gpu_extract.jl:126-143, exercised beyond the uniform case).
+    weight(token) = 1 + (token id mod 3) — derivable in ANSI SQL so the
+    oracle can recompute it exactly; sums are small integers in fp64, so
+    the bigint cast is lossless."""
+    seq = _seq(spark, sf_dir).withColumn(
+        "weights",
+        F.transform("tokens", lambda t: F.lit(1.0) + (t % 3).cast("double")),
+    )
+    cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42)
+    out = motif_counts(seq, cfg)
+    return out.withColumn(
+        "total_contribution", F.col("total_contribution").cast("long")
+    )
+
+
 def q_motifs_k2_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conservative-update CMS variant (north_star requirement).  At parity
     widths CU estimates equal plain estimates equal exact counts, so the
@@ -184,6 +229,7 @@ def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- training-data queries
 
 JACCARD_T = 0.5
+SHINGLE_DF_CAP = 1000  # stop-shingle cap, mirrored in the oracle SQL
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,25 +243,73 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=JACCARD_T, max_shingle_df=SHINGLE_DF_CAP
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH precision check, oracle-able despite recall < 1: every
+    LSH-emitted pair is exact-Jaccard verified, so the result must be a
+    subset of the exhaustive inverted-index pairs (n_lsh_pairs_not_in_exact
+    = 0), and with 25 true near-dup pairs in the corpus the banding must
+    surface at least one (found_any).  The raw pair list itself stays
+    covered by tests/test_pipeline_ops.py's subset/recall assertions."""
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T)
+    lsh = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T)
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=JACCARD_T, max_shingle_df=None
+    ).select("doc_a", "doc_b")
+    n_bad = lsh.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    n_found = lsh.count()
+    return spark.createDataFrame(
+        [(n_bad, n_found >= 1)],
+        schema="n_lsh_pairs_not_in_exact: long, found_any: boolean",
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_near_pairs
+    """SimHash bound check: (a) every emitted pair's recomputed Hamming
+    distance must agree and be <= 3; (b) pigeonhole completeness — the
+    4x16-bit banding must find EVERY pair within radius 3, verified against
+    a brute-force all-pairs recount (O(N^2/2) on signatures only, fine at
+    gate scale; the operator itself never goes quadratic)."""
+    from .operators.dedup import simhash_64, simhash_near_pairs
 
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_near_pairs(docs, max_hamming=3)
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    sh = simhash_64(docs)
+    joined = (
+        pairs.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"),
+            "doc_b",
+        )
+        .withColumn("hd", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+    )
+    n_viol = joined.filter((F.col("hd") > 3) | (F.col("hd") != F.col("hamming"))).count()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    n_missed = brute.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_viol, n_missed)],
+        schema="n_hamming_violations: long, n_missed_close_pairs: long",
+    )
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,23 +347,57 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-accelerated ANN (scale path; recall < 1 so no exact oracle)."""
-    from .operators.similarity import cosine_topk_ivf
+    """IVF ANN recall check (recall < 1, so the invariant — not the raw
+    neighbor list — is what the oracle pins): exactly 10 queries x 10
+    results, and mean recall@10 against the exact brute-force top-k >= 0.6
+    (measured ~0.8 at nprobe=8/nlist=16 across sf0.001-0.1, comfortable
+    margin).  The neighbor list itself stays covered by
+    tests/test_pipeline_ops.py::test_ivf_topk_recall."""
+    from .operators.similarity import cosine_topk, cosine_topk_ivf
 
     emb = read_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
     queries = emb.filter("vec_id < 10")
-    return cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=6)
+    ivf = cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=8)
+    exact = cosine_topk(emb, queries, k=10)
+    n_results = ivf.count()
+    n_hits = ivf.select("qid", "nid").join(exact, ["qid", "nid"], "left_semi").count()
+    n_queries = queries.count()
+    mean_recall = n_hits / max(n_queries * 10, 1)
+    return spark.createDataFrame(
+        [(n_queries, n_results, mean_recall >= 0.6)],
+        schema="n_queries: long, n_results: long, mean_recall_ge_60: boolean",
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import cosine_neardup_lsh
+    """Embedding near-dup precision check: every LSH-emitted pair is
+    exact-cosine verified, so the result must be a subset of the
+    brute-force >= threshold pair set (n_false_pairs = 0), and the
+    multi-table banding must surface at least one of the true near-dup
+    pairs present at every SF (found_any)."""
+    from .operators.similarity import _cosine_expr, cosine_neardup_lsh
 
     emb = read_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.4)
+    pairs = cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.4)
+    vecs = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_cosine_expr(F.col("va"), F.col("vb")) >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    n_false = pairs.select("doc_a", "doc_b").join(brute, ["doc_a", "doc_b"], "left_anti").count()
+    n_found = pairs.count()
+    return spark.createDataFrame(
+        [(n_false, n_found >= 1)],
+        schema="n_false_pairs: long, found_any: boolean",
+    )
 
 
 def q_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,32 +412,75 @@ def q_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL epsilon-bound check (north_rule: estimates within the published
+    error bound): per source, |hll - exact| <= 3*rsd*exact with
+    rsd = 1.04/sqrt(2^p) — a >=99.7% bound per group, deterministic here
+    because the hash seed is fixed.  Emits the exact count too, so the
+    oracle pins real values, not just the boolean."""
     from .operators.cardinality import hll_distinct
 
+    p = 14
+    rsd = 1.04 / (2 ** (p / 2))
     seq = _seq(spark, sf_dir)
-    return hll_distinct(seq, "tokens", group_col="source", p=14, seed=42)
+    est = hll_distinct(seq, "tokens", group_col="source", p=p, seed=42)
+    exact = (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                <= F.greatest(F.lit(3 * rsd) * F.col("n_exact"), F.lit(1.0))
+            ).alias("within_3rsd"),
+        )
+        .orderBy("source")
+    )
+
+
+# Rank-error bound for the KLL/t-digest driver checks.  Two-sided and
+# tie-aware: for discrete data the exact rank can jump across a heavy value,
+# so the invariant is rank(v-)/n <= q + eps AND rank(v+)/n >= q - eps.
+KLL_EPS = 0.03  # k=256; unit tests measure < 0.02 on continuous streams
+TDIGEST_EPS = 0.02  # compression=200
+
+
+def _rank_bound_check(
+    spark: SparkSession, df: DataFrame, col: str, qs: dict[float, float], eps: float
+) -> DataFrame:
+    n = df.count()
+    rows = []
+    for q, v in sorted(qs.items()):
+        lo = df.filter(F.col(col) < v).count()  # rank(v-)
+        hi = df.filter(F.col(col) <= v).count()  # rank(v+)
+        ok = (lo / n <= q + eps) and (hi / n >= q - eps)
+        rows.append((float(q), bool(ok)))
+    return spark.createDataFrame(rows, schema="q: double, rank_error_ok: boolean")
 
 
 def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank-error bound check (north_rule): the estimated quantile's
+    true rank must sit within eps of q (two-sided, tie-aware)."""
     from .operators.quantiles import kll_quantiles
 
     seq = _seq(spark, sf_dir)
     qs = kll_quantiles(seq, "n_tok", [0.1, 0.5, 0.9, 0.99], k=256, seed=42)
-    return spark.createDataFrame(
-        [(float(q), float(v)) for q, v in sorted(qs.items())], schema="q: double, value: double"
-    )
+    return _rank_bound_check(spark, seq, "n_tok", qs, KLL_EPS)
 
 
 def q_tdigest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest rank-error bound check, same invariant as the KLL query."""
     from .operators.quantiles import tdigest_quantiles
 
     ev = read_table(spark, sf_dir, "events").repartition(
         spark.sparkContext.defaultParallelism
     )
     qs = tdigest_quantiles(ev, "value", [0.01, 0.5, 0.99], compression=200.0)
-    return spark.createDataFrame(
-        [(float(q), float(v)) for q, v in sorted(qs.items())], schema="q: double, value: double"
-    )
+    return _rank_bound_check(spark, ev, "value", qs, TDIGEST_EPS)
 
 
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +506,8 @@ QUERIES = {
     "heavy_tokens": q_heavy_tokens,
     "ntok_stats": q_ntok_stats,
     "motifs_k2_conservative": q_motifs_k2_conservative,
+    "motifs_k2_checkpointed": q_motifs_k2_checkpointed,
+    "motifs_k2_weighted": q_motifs_k2_weighted,
     "events_hourly": q_events_hourly,
     "events_user_stats": q_events_user_stats,
     "dedup_exact": q_dedup_exact,
@@ -422,6 +595,35 @@ SELECT m1, c AS count, c AS n_occurrences
 FROM cnt WHERE c >= {HEAVY_MIN}
 ORDER BY m1
 """,
+    "motifs_k2_checkpointed": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (
+  SELECT m1, m2, count(*) AS c, count(*) AS n_occ
+  FROM pairs GROUP BY m1, m2
+)
+SELECT m1, m2, c AS count, n_occ AS n_occurrences,
+       CAST(2.0 * n_occ AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {K2_MIN}
+""",
+    "motifs_k2_weighted": f"""
+WITH {_TOK_CTE},
+wt AS (SELECT doc_id, tok, idx, 1.0 + (tok % 3) AS w FROM toks),
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2, a.w + b.w AS cw
+  FROM wt a JOIN wt b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (
+  SELECT m1, m2, count(*) AS c,
+         CAST(SUM(cw) AS BIGINT) AS tc
+  FROM pairs GROUP BY m1, m2
+)
+SELECT m1, m2, c AS count, c AS n_occurrences, tc AS total_contribution
+FROM cnt WHERE c >= {K2_MIN}
+""",
     "motifs_k2_conservative": f"""
 WITH {_TOK_CTE},
 pairs AS (
@@ -459,6 +661,14 @@ sh AS (
                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
     FROM ws WHERE len(w) >= 3)
 ),
+-- mirror of the engine's stop-shingle cap: candidate pairs must share at
+-- least one shingle with document frequency <= {SHINGLE_DF_CAP}
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP}),
+idx AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -468,6 +678,7 @@ common AS (
 SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
        CAST(FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common)) AS BIGINT) AS jaccard_pct
 FROM common c
+JOIN cand USING (doc_a, doc_b)
 JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common)) >= {int(JACCARD_T * 100)}
@@ -553,6 +764,36 @@ FROM w GROUP BY source ORDER BY source
     "bloom_semijoin": """
 SELECT o_orderkey, o_custkey FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+""",
+    # Bound-check oracles: the Spark side does the real verification work
+    # (estimate vs exact companion / subset vs brute force); the oracle pins
+    # the exact companion values plus the invariant that MUST hold.
+    "hll_tokens_per_source": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT source, count(DISTINCT tok) AS n_exact, TRUE AS within_3rsd
+FROM w WHERE tok != '' GROUP BY source ORDER BY source
+""",
+    "kll_ntok_quantiles": """
+SELECT * FROM (VALUES (0.1, TRUE), (0.5, TRUE), (0.9, TRUE), (0.99, TRUE))
+  AS t(q, rank_error_ok)
+""",
+    "tdigest_event_value": """
+SELECT * FROM (VALUES (0.01, TRUE), (0.5, TRUE), (0.99, TRUE))
+  AS t(q, rank_error_ok)
+""",
+    "dedup_minhash_lsh": """
+SELECT CAST(0 AS BIGINT) AS n_lsh_pairs_not_in_exact, TRUE AS found_any
+""",
+    "dedup_simhash": """
+SELECT CAST(0 AS BIGINT) AS n_hamming_violations,
+       CAST(0 AS BIGINT) AS n_missed_close_pairs
+""",
+    "ann_cosine_topk_ivf": """
+SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
+       TRUE AS mean_recall_ge_60
+""",
+    "embedding_neardup_lsh": """
+SELECT CAST(0 AS BIGINT) AS n_false_pairs, TRUE AS found_any
 """,
     "ntok_stats": """
 WITH n AS (

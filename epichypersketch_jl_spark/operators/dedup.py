@@ -75,6 +75,9 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", sh)
 
 
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -82,32 +85,46 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join (doc_a < doc_b).
 
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard_pct: int 0..100).
     Jaccard is over DISTINCT shingles.  jaccard_pct = floor(100 * j) keeps
     the output integer-exact for oracle hashing.
+
+    Two-stage plan: CANDIDATE pairs come from an inverted index with hot
+    shingles (document frequency > max_shingle_df) removed — without the
+    cap, one boilerplate shingle shared by 1M docs would alone produce
+    ~10^12 join rows, the classic quadratic blow-up of exact dedup at web
+    scale.  Jaccard itself is then computed on the FULL distinct-shingle
+    sets of each candidate pair, so emitted values are exact; the only
+    approximation is that a pair sharing *nothing but* capped shingles is
+    never considered (such a pair is boilerplate-only overlap, far below
+    any useful threshold when the cap is sane).  Pass max_shingle_df=None
+    for the exhaustive index (small corpora / oracle references).
     """
-    sh = (
-        word_shingles(df.select(id_col, text_col), text_col, n)
-        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s"))
+    shing = word_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col), F.array_distinct("shingles").alias("sh")
     )
+    sh = shing.select(F.col(id_col), F.explode("sh").alias("s"))
+    idx = sh
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+        idx = sh.join(F.broadcast(hot), "s", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
     )
     out = (
-        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cand.join(shing.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(shing.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_b", F.size("sh_b").cast("long"))
         .withColumn(
             "jaccard_pct",
             F.floor(

@@ -147,6 +147,7 @@ def hyperplane_buckets(
 def train_ivf_centroids(
     emb: DataFrame,
     *,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     nlist: int = 16,
@@ -156,9 +157,21 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample -> (nlist, dim)
     L2-normalized centroids.  The sample is tiny and seeded; training cost
-    is O(sample * nlist * iters) on the driver — the classic IVF recipe."""
+    is O(sample * nlist * iters) on the driver — the classic IVF recipe.
+
+    The sample is `orderBy(id).limit(n)` — a distributed TopK, so it is
+    identical regardless of partitioning (a bare `limit` without ordering
+    depends on cluster partition order and would break the seeded-
+    determinism contract)."""
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()], dtype=np.float64
+        [
+            r[1]
+            for r in emb.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_rows)
+            .collect()
+        ],
+        dtype=np.float64,
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)
@@ -219,7 +232,7 @@ def cosine_topk_ivf(
     nprobe = nlist).  Same output schema as cosine_topk."""
     spark = emb.sparkSession
     centroids = train_ivf_centroids(
-        emb, vec_col=vec_col, dim=dim, nlist=nlist, seed=seed
+        emb, id_col=id_col, vec_col=vec_col, dim=dim, nlist=nlist, seed=seed
     )
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col, dim=dim)
     e = (

@@ -180,3 +180,45 @@ class TestCardinalityQuantiles:
         exact = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi").count()
         assert got >= exact  # no false negatives
         assert got <= exact * 1.001 + 5  # essentially no false positives at this fpp
+
+
+class TestRound2Fixes:
+    def test_ivf_centroids_partition_invariant(self, emb):
+        """Seeded IVF training must not depend on input partitioning
+        (a bare limit().collect() would; orderBy(id).limit() does not)."""
+        from epichypersketch_jl_spark.operators.similarity import train_ivf_centroids
+
+        a = train_ivf_centroids(emb.repartition(2), nlist=8, seed=7)
+        b = train_ivf_centroids(emb.repartition(13), nlist=8, seed=7)
+        assert np.array_equal(a, b)
+
+    def test_ngram_cap_drops_hot_only_candidates(self, spark):
+        """With the stop-shingle cap, a pair sharing ONLY a hot shingle is
+        not a candidate; pairs sharing any rare shingle keep their EXACT
+        full-set jaccard values."""
+        from epichypersketch_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+        hot = "the same boiler plate"
+        docs = spark.createDataFrame(
+            [(i, f"{hot} unique{i} word{i} tail{i}") for i in range(6)]
+            + [(100, f"{hot} shared rare suffix"), (101, f"{hot} shared rare suffix")],
+            "doc_id: long, text: string",
+        )
+        # cap=5: the 4 shingles of `hot` appear in 8 docs -> capped
+        out = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_df=5).toPandas()
+        pairs = set(zip(out.doc_a, out.doc_b))
+        assert (100, 101) in pairs
+        # docs 0..5 share only capped shingles -> never candidates
+        assert all(a == 100 and b == 101 for a, b in pairs)
+        row = out[(out.doc_a == 100)].iloc[0]
+        # full-set jaccard: identical docs -> 100%
+        assert row.jaccard_pct == 100 and row.n_common == row.n_a == row.n_b
+
+    def test_ngram_cap_none_is_exhaustive(self, spark):
+        from epichypersketch_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x")], "doc_id: long, text: string"
+        )
+        out = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=None).toPandas()
+        assert len(out) == 1 and out.iloc[0].n_common == 2
