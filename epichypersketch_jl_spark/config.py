@@ -52,6 +52,11 @@ class HyperSketchConfig:
                  so partition sketches merge by elementwise addition.
     conservative : use conservative update (still never undercounts; tighter).
     max_cells  : peak cells per kernel chunk (memory planner stand-in).
+    memory_budget_bytes : when set, the motif pipeline derives max_cells
+                 from the memory planner (plans/memory.py:plan_memory) using
+                 the observed typical sequence length, instead of the static
+                 DEFAULT_MAX_CELLS — the Spark analog of the reference's
+                 auto_configure_batch_size (src/memory.jl:172-228).
     """
 
     motif_size: int = 2
@@ -62,6 +67,7 @@ class HyperSketchConfig:
     seed: int = 42
     conservative: bool = False
     max_cells: int = DEFAULT_MAX_CELLS
+    memory_budget_bytes: int | None = None
     # Columns of the input table (input_hint schema by default).
     doc_id_col: str = "doc_id"
     tokens_col: str = "tokens"
@@ -81,6 +87,10 @@ class HyperSketchConfig:
             raise ConfigError(f"filter_len must be >= 0, got {self.filter_len}")
         if self.max_cells < 1000:
             raise ConfigError(f"max_cells too small: {self.max_cells}")
+        if self.memory_budget_bytes is not None and self.memory_budget_bytes < (1 << 20):
+            raise ConfigError(
+                f"memory_budget_bytes must be >= 1 MiB, got {self.memory_budget_bytes}"
+            )
 
     @property
     def depth(self) -> int:

@@ -9,31 +9,89 @@ no padding, no validity predicate (SURVEY.md §4 "zero-padding" row).
 
 `max_cells` caps rows_per_chunk * C(L,k) * k, the peak gather size — the
 Spark-side stand-in for the reference's memory planner (src/memory.jl:97-148).
+For pathologically long sequences (web text: a single L~1000 doc at k=3 is
+~5e8 index cells, a guaranteed worker OOM if materialized at once) the
+combination space itself is enumerated in bounded slices via
+`iter_comb_chunks`; `comb_index_matrix` — the materialize-everything API —
+refuses above a hard ceiling instead of dying in malloc.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
-from itertools import chain, combinations
+from collections import OrderedDict
+from itertools import chain, combinations, islice
 from math import comb
 
 import numpy as np
 
+from ..errors import InputError
 
-@lru_cache(maxsize=4096)
+# materialize-at-once ceiling for one combs matrix (cells = C(L,k) * k);
+# 64M int64 cells = 512 MB — beyond this, enumeration must be chunked
+COMB_MATRIX_MAX_CELLS = 64_000_000
+# total bytes the comb-matrix memo may pin (FIFO-evicted beyond this)
+COMB_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+_cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
+_cache_bytes = 0
+
+
 def comb_index_matrix(L: int, k: int) -> np.ndarray:
     """All k-subsets of range(L) as a (C(L,k), k) int64 matrix, lexicographic.
 
     Mirrors the reference's generate_combinations (src/record.jl:196-205) but
-    0-based and generated lazily per distinct length.
+    0-based and generated lazily per distinct length.  Memoized with a
+    byte-bounded FIFO cache (an unbounded entry-count cache could pin
+    hundreds of GB across many distinct lengths).  Raises InputError above
+    COMB_MATRIX_MAX_CELLS — callers enumerating long sequences must use
+    iter_comb_chunks instead.
     """
+    global _cache_bytes
     if k > L or k < 1:
         return np.empty((0, max(k, 1)), dtype=np.int64)
+    key = (L, k)
+    hit = _cache.get(key)
+    if hit is not None:
+        _cache.move_to_end(key)
+        return hit
     c = comb(L, k)
+    if c * k > COMB_MATRIX_MAX_CELLS:
+        raise InputError(
+            f"C({L},{k})*{k} = {c * k} combination cells exceeds the "
+            f"{COMB_MATRIX_MAX_CELLS} materialization ceiling; "
+            "use iter_comb_chunks for bounded enumeration"
+        )
     out = np.fromiter(
         chain.from_iterable(combinations(range(L), k)), dtype=np.int64, count=c * k
     )
-    return out.reshape(c, k)
+    out = out.reshape(c, k)
+    out.setflags(write=False)
+    _cache[key] = out
+    _cache_bytes += out.nbytes
+    while _cache_bytes > COMB_CACHE_MAX_BYTES and len(_cache) > 1:
+        _, old = _cache.popitem(last=False)
+        _cache_bytes -= old.nbytes
+    return out
+
+
+def iter_comb_chunks(L: int, k: int, max_cells: int):
+    """Yield (n_combs_chunk, k) index matrices covering all C(L,k) subsets,
+    each bounded by ~max_cells int64 cells — constant memory regardless of
+    L.  The common case (everything fits) yields the single memoized matrix,
+    so the fast path is identical to comb_index_matrix."""
+    if k > L or k < 1:
+        return
+    total_cells = comb(L, k) * k
+    if total_cells <= min(max_cells, COMB_MATRIX_MAX_CELLS):
+        yield comb_index_matrix(L, k)
+        return
+    rows_per = max(1024, max_cells // max(k, 1))
+    it = combinations(range(L), k)
+    while True:
+        arr = np.fromiter(chain.from_iterable(islice(it, rows_per)), dtype=np.int64)
+        if arr.size == 0:
+            return
+        yield arr.reshape(-1, k)
 
 
 HARD_MAX_CELLS = 32_000_000  # absolute per-chunk ceiling (~0.75 GB of i32 keys)
@@ -48,7 +106,10 @@ def iter_length_groups(lengths: np.ndarray, k: int, max_cells: int):
     Chunks target len(rows) * C(L,k) * k <= max_cells (cache-residency of
     the kernel streams), but never fewer than MIN_ROWS_PER_CHUNK rows while
     under HARD_MAX_CELLS — single-row chunks at large C(L,k) drown in
-    per-chunk Python overhead (measured 9x on k=3, L~99).
+    per-chunk Python overhead (measured 9x on k=3, L~99).  Rows whose
+    per-row combination space alone exceeds every cap still come through
+    (one row per chunk); the kernels then slice the combination space via
+    iter_comb_chunks.
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     order = np.argsort(lengths, kind="stable")
@@ -68,6 +129,13 @@ def iter_length_groups(lengths: np.ndarray, k: int, max_cells: int):
         rows = order[s:e]
         for i in range(0, len(rows), rows_per_chunk):
             yield rows[i : i + rows_per_chunk], L
+
+
+def comb_chunk_cells(n_rows: int, max_cells: int, k: int) -> int:
+    """Per-row combination-cell budget for a kernel chunk of n_rows rows:
+    the chunk's total stream stays near max_cells even when one row's full
+    C(L,k) space wouldn't fit."""
+    return max(k * 1024, max_cells // max(n_rows, 1))
 
 
 def gather_rows(flat: np.ndarray, offsets: np.ndarray, rows: np.ndarray, L: int) -> np.ndarray:

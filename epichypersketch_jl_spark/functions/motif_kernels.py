@@ -25,7 +25,12 @@ import pyarrow as pa
 
 from ..config import HyperSketchConfig
 from ..sketches.cms import CountMinSketch
-from .combinations import comb_index_matrix, gather_rows, iter_length_groups
+from .combinations import (
+    comb_chunk_cells,
+    gather_rows,
+    iter_comb_chunks,
+    iter_length_groups,
+)
 
 
 def list_column_to_numpy(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -85,19 +90,20 @@ def build_batch(
     lengths = np.diff(offsets)
     conv = positions_flat is not None
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
-        combs = comb_index_matrix(L, k)
+        budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
         if conv:
             pm = gather_rows(positions_flat, offsets, rows, L)
             order = np.argsort(pm, axis=1, kind="stable")
             tm = np.take_along_axis(tm, order, axis=1)
             pm = np.take_along_axis(pm, order, axis=1)
-            keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
-            cms.update_batch_grouped(keys[valid])
+            for combs in iter_comb_chunks(L, k, budget):
+                keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
+                cms.update_batch_grouped(keys[valid])
         else:
             tm = np.sort(tm, axis=1)  # canonical ascending motifs (src/record.jl:237-242)
-            keys = tm[:, combs]
-            cms.update_batch_grouped(keys.reshape(-1, k))
+            for combs in iter_comb_chunks(L, k, budget):
+                cms.update_batch_grouped(tm[:, combs].reshape(-1, k))
     if stats is not None:
         stats.n_rows += len(lengths)
         stats.n_tokens += int(lengths.sum())
@@ -166,32 +172,10 @@ def aggregate_batch(
     lengths = np.diff(offsets)
     conv = positions_flat is not None
     acc_k, acc_o, acc_c = [], [], []
-    for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
-        combs = comb_index_matrix(L, k)
-        tm = gather_rows(tokens_flat, offsets, rows, L)
-        wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
-        if conv:
-            pm = gather_rows(positions_flat, offsets, rows, L)
-            order = np.argsort(pm, axis=1, kind="stable")
-            tm = np.take_along_axis(tm, order, axis=1)
-            pm = np.take_along_axis(pm, order, axis=1)
-            if wm is not None:
-                wm = np.take_along_axis(wm, order, axis=1)
-            keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
-            flat_keys = keys[valid]
-            contrib = wm[:, combs].sum(axis=-1)[valid] if wm is not None else None
-        else:
-            if wm is not None:
-                order = np.argsort(tm, axis=1, kind="stable")
-                tm = np.take_along_axis(tm, order, axis=1)
-                wm = np.take_along_axis(wm, order, axis=1)
-                contrib = wm[:, combs].sum(axis=-1).reshape(-1)
-            else:
-                tm = np.sort(tm, axis=1)
-                contrib = None
-            flat_keys = tm[:, combs].reshape(-1, k)
+
+    def process(flat_keys: np.ndarray, contrib: np.ndarray | None) -> None:
         if flat_keys.shape[0] == 0:
-            continue
+            return
         if flat_keys.ndim != 2 or not flat_keys.flags.c_contiguous:
             flat_keys = np.ascontiguousarray(flat_keys)
         # adaptive order: on repetitive streams fold first (few unique keys
@@ -204,7 +188,7 @@ def aggregate_batch(
             est_all = cms.estimate_grouped(flat_keys)
             m_all = est_all >= cfg.min_count
             if not m_all.any():
-                continue
+                return
             surv = flat_keys[m_all]
             surv_contrib = contrib[m_all] if contrib is not None else None
             ukeys, occ, csum = _fold_keys(surv, k, contrib_weights=surv_contrib)
@@ -218,6 +202,34 @@ def aggregate_batch(
             acc_k.append(ukeys[m])
             acc_o.append(occ[m])
             acc_c.append(csum[m])
+
+    for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
+        budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
+        tm = gather_rows(tokens_flat, offsets, rows, L)
+        wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
+        if conv:
+            pm = gather_rows(positions_flat, offsets, rows, L)
+            order = np.argsort(pm, axis=1, kind="stable")
+            tm = np.take_along_axis(tm, order, axis=1)
+            pm = np.take_along_axis(pm, order, axis=1)
+            if wm is not None:
+                wm = np.take_along_axis(wm, order, axis=1)
+            for combs in iter_comb_chunks(L, k, budget):
+                keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
+                contrib = wm[:, combs].sum(axis=-1)[valid] if wm is not None else None
+                process(keys[valid], contrib)
+        else:
+            if wm is not None:
+                order = np.argsort(tm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
+                wm = np.take_along_axis(wm, order, axis=1)
+            else:
+                tm = np.sort(tm, axis=1)
+            for combs in iter_comb_chunks(L, k, budget):
+                contrib = (
+                    wm[:, combs].sum(axis=-1).reshape(-1) if wm is not None else None
+                )
+                process(tm[:, combs].reshape(-1, k), contrib)
     if not acc_k:
         kw = 2 * k - 1 if conv else k
         return (
@@ -262,7 +274,7 @@ def extract_batch(
     conv = positions_flat is not None
     out = ExtractOut()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
-        combs = comb_index_matrix(L, k)
+        budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
         wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
         if conv:
@@ -272,41 +284,45 @@ def extract_batch(
             pm = np.take_along_axis(pm, order, axis=1)
             if wm is not None:
                 wm = np.take_along_axis(wm, order, axis=1)
-            tok_sel = tm[:, combs]
-            pos_sel = pm[:, combs]
-            keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len)
-            # clamp invalid (overlapping) placements to key 0 so the packed
-            # dedup fast path stays applicable; their estimates are masked out
-            keys = np.where(valid[..., None], keys, 0)
-            est = cms.estimate_grouped(keys.reshape(-1, keys.shape[-1])).reshape(keys.shape[:2])
-            sel = valid & (est >= cfg.min_count)
-            ri, ci = np.nonzero(sel)
-            if ri.size == 0:
-                continue
-            out.motifs.append(tok_sel[ri, ci])
-            out.gaps.append(keys[ri, ci, 1::2])
-            out.starts.append(pos_sel[ri, ci, 0])
-            out.ends.append(pos_sel[ri, ci, -1] + cfg.filter_len - 1)
+        elif wm is not None:
+            order = np.argsort(tm, axis=1, kind="stable")
+            tm = np.take_along_axis(tm, order, axis=1)
+            wm = np.take_along_axis(wm, order, axis=1)
         else:
-            if wm is not None:
-                order = np.argsort(tm, axis=1, kind="stable")
-                tm = np.take_along_axis(tm, order, axis=1)
-                wm = np.take_along_axis(wm, order, axis=1)
+            tm = np.sort(tm, axis=1)
+        for combs in iter_comb_chunks(L, k, budget):
+            if conv:
+                tok_sel = tm[:, combs]
+                pos_sel = pm[:, combs]
+                keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len)
+                # clamp invalid (overlapping) placements to key 0 so the packed
+                # dedup fast path stays applicable; estimates are masked out
+                keys = np.where(valid[..., None], keys, 0)
+                est = cms.estimate_grouped(keys.reshape(-1, keys.shape[-1])).reshape(
+                    keys.shape[:2]
+                )
+                sel = valid & (est >= cfg.min_count)
+                ri, ci = np.nonzero(sel)
+                if ri.size == 0:
+                    continue
+                out.motifs.append(tok_sel[ri, ci])
+                out.gaps.append(keys[ri, ci, 1::2])
+                out.starts.append(pos_sel[ri, ci, 0])
+                out.ends.append(pos_sel[ri, ci, -1] + cfg.filter_len - 1)
             else:
-                tm = np.sort(tm, axis=1)
-            keys = tm[:, combs]
-            est = cms.estimate_grouped(keys.reshape(-1, k)).reshape(keys.shape[:2])
-            sel = est >= cfg.min_count
-            ri, ci = np.nonzero(sel)
-            if ri.size == 0:
-                continue
-            out.motifs.append(keys[ri, ci])
-        # shared tail: contribution, doc row, count
-        if wm is not None:
-            contrib = wm[:, combs].sum(axis=-1)[ri, ci]
-        else:
-            contrib = np.full(ri.size, float(k))
-        out.contribs.append(contrib)
-        out.row_idx.append(rows[ri])
-        out.counts.append(est[ri, ci])
+                keys = tm[:, combs]
+                est = cms.estimate_grouped(keys.reshape(-1, k)).reshape(keys.shape[:2])
+                sel = est >= cfg.min_count
+                ri, ci = np.nonzero(sel)
+                if ri.size == 0:
+                    continue
+                out.motifs.append(keys[ri, ci])
+            # shared tail: contribution, doc row, count
+            if wm is not None:
+                contrib = wm[:, combs].sum(axis=-1)[ri, ci]
+            else:
+                contrib = np.full(ri.size, float(k))
+            out.contribs.append(contrib)
+            out.row_idx.append(rows[ri])
+            out.counts.append(est[ri, ci])
     return out

@@ -91,7 +91,10 @@ def build_motif_cms(
     n_buckets: int = 64,
 ) -> tuple[CountMinSketch, list[dict]]:
     """Phase 1+2: partition-local CMS build + associative merge."""
+    from ..plans.memory import planned_config
+
     conv = _is_conv(df, cfg)
+    cfg = planned_config(df, cfg, conv)
     prepared = _prepared(df, cfg, conv, with_weights=False)
     zero = lambda: make_cms(cfg, conv)  # noqa: E731
     update = _make_update_fn(cfg, conv)
@@ -143,7 +146,10 @@ def enriched_configurations(
     """
     if validate and df.isEmpty():
         raise InputError("input DataFrame is empty")  # src/errors.jl:37-47
+    from ..plans.memory import planned_config
+
     conv = _is_conv(df, cfg)
+    cfg = planned_config(df, cfg, conv)
     if cms is None:
         cms, _metrics = build_motif_cms(
             df, cfg, checkpoint_dir=checkpoint_dir, n_buckets=n_buckets
@@ -219,7 +225,10 @@ def motif_counts(
     """
     if validate and df.isEmpty():
         raise InputError("input DataFrame is empty")
+    from ..plans.memory import planned_config
+
     conv = _is_conv(df, cfg)
+    cfg = planned_config(df, cfg, conv)
     if cms is None:
         cms, _ = build_motif_cms(df, cfg)
     spark = df.sparkSession

@@ -53,6 +53,35 @@ def estimate_bytes_per_doc(cfg: HyperSketchConfig, typical_len: int, conv: bool 
     return cells * BYTES_PER_CELL
 
 
+def observed_typical_len(df, cfg: HyperSketchConfig) -> int:
+    """90th-percentile sequence length — one cheap aggregate over the input
+    (the stand-in for the reference's free-GPU-memory probe).  Uses the
+    n_tok column when present, else sizes the token arrays."""
+    from pyspark.sql import functions as F
+
+    col = F.col("n_tok") if "n_tok" in df.columns else F.size(F.col(cfg.tokens_col))
+    row = df.select(F.percentile_approx(col, 0.9).alias("p90")).first()
+    return int(row.p90 or cfg.motif_size)
+
+
+def planned_config(df, cfg: HyperSketchConfig, conv: bool) -> HyperSketchConfig:
+    """Resolve cfg.max_cells from the memory planner when the caller set a
+    memory budget; identity otherwise.  This is the pipeline wiring of
+    plan_memory — results are unchanged by construction (max_cells only
+    chunks work), verified by tests/test_memory_plan.py."""
+    if cfg.memory_budget_bytes is None:
+        return cfg
+    import dataclasses
+
+    plan = plan_memory(
+        cfg,
+        typical_len=observed_typical_len(df, cfg),
+        budget_bytes=cfg.memory_budget_bytes,
+        conv=conv,
+    )
+    return dataclasses.replace(cfg, max_cells=plan.max_cells, memory_budget_bytes=None)
+
+
 def plan_memory(
     cfg: HyperSketchConfig,
     *,

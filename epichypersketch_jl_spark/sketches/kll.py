@@ -7,7 +7,7 @@ guaranteed invariant is the rank-error bound, which is what we test.
 
 from __future__ import annotations
 
-import pickle
+import struct
 
 import numpy as np
 
@@ -115,13 +115,31 @@ class KLL(MergeableSketch):
         out._compress()
         return out
 
+    # struct header + per-level (len, raw float64 buffer) — the same framing
+    # discipline as CountMinSketch._payload; checkpoint/sink blobs must never
+    # go through pickle (arbitrary code execution on tampered files).
+    _HDR = "<qqqq"  # k, seed, n, n_levels
+
     def _payload(self) -> bytes:
-        return pickle.dumps(
-            {"k": self.k, "seed": self.seed, "n": self.n, "comps": [c for c in self.compactors]},
-            protocol=4,
-        )
+        parts = [struct.pack(self._HDR, self.k, self.seed, self.n, len(self.compactors))]
+        for c in self.compactors:
+            parts.append(struct.pack("<q", len(c)))
+            parts.append(np.ascontiguousarray(c, dtype=np.float64).tobytes())
+        return b"".join(parts)
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "KLL":
-        d = pickle.loads(payload)
-        return cls(k=d["k"], seed=d["seed"], _compactors=d["comps"], _n=d["n"])
+        hsz = struct.calcsize(cls._HDR)
+        k, seed, n, n_levels = struct.unpack(cls._HDR, payload[:hsz])
+        comps = []
+        off = hsz
+        for _ in range(n_levels):
+            (m,) = struct.unpack("<q", payload[off : off + 8])
+            off += 8
+            if off + 8 * m > len(payload):
+                raise ValueError("corrupt KLL payload")
+            comps.append(np.frombuffer(payload, dtype=np.float64, count=m, offset=off))
+            off += 8 * m
+        if off != len(payload):
+            raise ValueError("corrupt KLL payload")
+        return cls(k=k, seed=seed, _compactors=comps, _n=n)

@@ -9,7 +9,7 @@ usual sequential greedy loop.  merge = concatenate centroids + compress.
 
 from __future__ import annotations
 
-import pickle
+import struct
 
 import numpy as np
 
@@ -136,20 +136,28 @@ class TDigest(MergeableSketch):
         out._compress(force=True)
         return out
 
+    # struct header + raw float64 buffers: same framing discipline as
+    # CountMinSketch._payload — blobs read back from checkpoints/sinks must
+    # never go through pickle (arbitrary code execution on tampered files).
+    _HDR = "<dddq"
+
     def _payload(self) -> bytes:
         self._compress()
-        return pickle.dumps(
-            {
-                "c": self.compression,
-                "m": self.means,
-                "w": self.weights,
-                "lo": self.vmin,
-                "hi": self.vmax,
-            },
-            protocol=4,
+        hdr = struct.pack(
+            self._HDR, self.compression, self.vmin, self.vmax, self.means.size
+        )
+        return (
+            hdr
+            + np.ascontiguousarray(self.means, dtype=np.float64).tobytes()
+            + np.ascontiguousarray(self.weights, dtype=np.float64).tobytes()
         )
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "TDigest":
-        d = pickle.loads(payload)
-        return cls(compression=d["c"], _means=d["m"], _weights=d["w"], _min=d["lo"], _max=d["hi"])
+        hsz = struct.calcsize(cls._HDR)
+        comp, lo, hi, n = struct.unpack(cls._HDR, payload[:hsz])
+        if hsz + 16 * n != len(payload):
+            raise ValueError("corrupt TDigest payload")
+        means = np.frombuffer(payload, dtype=np.float64, count=n, offset=hsz)
+        weights = np.frombuffer(payload, dtype=np.float64, count=n, offset=hsz + 8 * n)
+        return cls(compression=comp, _means=means, _weights=weights, _min=lo, _max=hi)

@@ -53,10 +53,18 @@ def _sessionize_fn(gap_ms: int):
             start, last, n, total = int(ts_ms[0]), int(ts_ms[0]), 0, 0.0
         out = []
         for t, v in zip(ts_ms, vals):
+            t = int(t)
+            # Out-of-order events (t <= last, still above the watermark) must
+            # never move `last` backwards: a rewound `last` would make the
+            # next in-order event falsely measure a > gap distance and close
+            # the session early.  A late event within the current session
+            # merges into it (extending `start` backwards if it precedes it);
+            # gap distance is always measured from the running max timestamp.
             if t - last > gap_ms and n > 0:
                 out.append((user_id, start, last, n, total, "gap"))
-                start, n, total = int(t), 0, 0.0
-            last = int(t)
+                start, n, total = t, 0, 0.0
+            start = min(start, t)
+            last = max(last, t)
             n += 1
             total += float(v)
         state.update((start, last, n, total))

@@ -33,3 +33,54 @@ class TestMemoryPlanner:
         big = plan_memory(cfg, typical_len=80, budget_bytes=2 * 2**30)
         assert small.max_cells <= big.max_cells
         assert small.arrow_batch_rows <= big.arrow_batch_rows
+
+
+class TestPlannerWiring:
+    """VERDICT fix: plan_memory is consulted by the pipeline when a budget
+    is set (was dead code on static DEFAULT_MAX_CELLS)."""
+
+    def test_planned_config_resolves_max_cells(self, spark):
+        from epichypersketch_jl_spark.plans.memory import (
+            BYTES_PER_CELL,
+            observed_typical_len,
+            planned_config,
+        )
+
+        df = spark.createDataFrame(
+            [(i, list(range(1, 30)), 29) for i in range(40)],
+            "doc_id: long, tokens: array<int>, n_tok: int",
+        )
+        budget = 64 * 2**20
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, memory_budget_bytes=budget)
+        planned = planned_config(df, cfg, conv=False)
+        assert planned.memory_budget_bytes is None  # resolved exactly once
+        assert planned.max_cells != cfg.max_cells or planned.max_cells >= 1000
+        # the planner's cap respects the byte budget
+        assert planned.max_cells * BYTES_PER_CELL <= budget
+        assert observed_typical_len(df, cfg) == 29
+
+    def test_no_budget_is_identity(self, spark):
+        from epichypersketch_jl_spark.plans.memory import planned_config
+
+        df = spark.createDataFrame([(1, [1, 2], 2)], "doc_id: long, tokens: array<int>, n_tok: int")
+        cfg = HyperSketchConfig(motif_size=2, min_count=1)
+        assert planned_config(df, cfg, conv=False) is cfg
+
+    def test_results_identical_under_budget(self, spark, sf_dir):
+        from epichypersketch_jl_spark.operators.motif import motif_counts
+        from epichypersketch_jl_spark.sources.tables import tokenized_sequences
+
+        seq = tokenized_sequences(spark, sf_dir)
+        base = motif_counts(
+            seq, HyperSketchConfig(motif_size=2, min_count=40, seed=42)
+        ).toPandas()
+        budgeted = motif_counts(
+            seq,
+            HyperSketchConfig(
+                motif_size=2, min_count=40, seed=42, memory_budget_bytes=32 * 2**20
+            ),
+        ).toPandas()
+        cols = ["m1", "m2", "count", "n_occurrences", "total_contribution"]
+        a = base[cols].sort_values(["m1", "m2"]).reset_index(drop=True)
+        b = budgeted[cols].sort_values(["m1", "m2"]).reset_index(drop=True)
+        assert a.equals(b)

@@ -6,6 +6,7 @@ from math import comb
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from epichypersketch_jl_spark.config import HyperSketchConfig
 from epichypersketch_jl_spark.functions.combinations import (
@@ -185,3 +186,88 @@ class TestArrowBridge:
         flat, off = list_column_to_numpy(arr)
         got = [flat[off[i]: off[i + 1]].tolist() for i in range(len(off) - 1)]
         assert got == [[3], [4, 5, 6]]
+
+
+class TestCombChunking:
+    """ADVICE fix: bounded combination enumeration for pathological lengths."""
+
+    def test_matrix_ceiling_raises(self):
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.functions.combinations import comb_index_matrix
+
+        with pytest.raises(InputError, match="ceiling"):
+            comb_index_matrix(1000, 3)  # ~5e8 cells
+
+    def test_chunks_cover_exactly_once(self):
+        from math import comb
+
+        from epichypersketch_jl_spark.functions.combinations import (
+            comb_index_matrix,
+            iter_comb_chunks,
+        )
+
+        full = comb_index_matrix(12, 3)
+        chunks = list(iter_comb_chunks(12, 3, max_cells=90))  # forces many chunks
+        got = np.concatenate(chunks)
+        assert np.array_equal(got, full)
+        assert all(c.shape[0] * 3 <= max(90, 3 * 1024) for c in chunks)
+        assert comb(12, 3) == got.shape[0]
+
+    def test_kernel_results_invariant_under_chunking(self):
+        """Build + aggregate over a long sequence must produce identical
+        counts whether the combination space is enumerated in one shot or
+        in bounded slices."""
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            aggregate_batch,
+            build_batch,
+            make_cms,
+        )
+
+        rng = np.random.default_rng(0)
+        toks = rng.integers(1, 8, size=60).astype(np.int32)
+        offsets = np.array([0, 60], dtype=np.int64)
+
+        outs = []
+        for max_cells in (1000, 10_000_000):  # C(60,3)*3 ~ 103k cells
+            cfg = HyperSketchConfig(motif_size=3, min_count=1, seed=1, max_cells=max_cells)
+            cms = make_cms(cfg, conv=False)
+            build_batch(cms, toks, offsets, cfg)
+            keys, occ, csum, est = aggregate_batch(cms, toks, offsets, cfg)
+            order = np.lexsort(keys.T[::-1])
+            outs.append((cms.n_updates, keys[order], occ[order], est[order]))
+        assert outs[0][0] == outs[1][0]
+        assert np.array_equal(outs[0][1], outs[1][1])
+        assert np.array_equal(outs[0][2], outs[1][2])
+        assert np.array_equal(outs[0][3], outs[1][3])
+
+    def test_conv_kernel_invariant_under_chunking(self):
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            build_batch,
+            extract_batch,
+            make_cms,
+        )
+
+        rng = np.random.default_rng(3)
+        toks = rng.integers(1, 6, size=40).astype(np.int32)
+        pos = np.arange(1, 41, dtype=np.int32)
+        offsets = np.array([0, 40], dtype=np.int64)
+        res = []
+        for max_cells in (1000, 10_000_000):
+            cfg = HyperSketchConfig(
+                motif_size=2, min_count=2, filter_len=1, seed=1, max_cells=max_cells
+            )
+            cms = make_cms(cfg, conv=True)
+            build_batch(cms, toks, offsets, cfg, positions_flat=pos)
+            out = extract_batch(cms, toks, offsets, cfg, positions_flat=pos)
+            rows = sorted(
+                zip(
+                    map(tuple, np.concatenate(out.motifs)),
+                    np.concatenate(out.gaps)[:, 0],
+                    np.concatenate(out.starts),
+                    np.concatenate(out.counts),
+                )
+            )
+            res.append((cms.n_updates, rows))
+        assert res[0] == res[1]

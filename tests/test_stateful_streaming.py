@@ -63,3 +63,76 @@ class TestSessionize:
         assert (abs(m["total_value"] - m["total_value_e"]) < 1e-9).all()
         # most sessions should be emitted (watermark withholds only the tail)
         assert len(got) >= 0.8 * len(exact)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the session function."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+    def remove(self):
+        self._v = None
+
+
+def _run_batches(fn, batches):
+    st = _FakeState()
+    emitted = []
+    for b in batches:
+        pdf = pd.DataFrame({"ts": pd.to_datetime(b, unit="ms"), "value": [1.0] * len(b)})
+        emitted += list(fn((7,), [pdf], st))
+    return emitted, st
+
+
+class TestSessionizeOutOfOrder:
+    def test_late_event_does_not_rewind_last(self):
+        """A later micro-batch carrying an event with ts < state.last (but
+        above the watermark) must not rewind the gap reference: the next
+        in-order event would otherwise falsely close the session."""
+        from epichypersketch_jl_spark.streaming.stateful import _sessionize_fn
+
+        fn = _sessionize_fn(gap_ms=60_000)
+        emitted, st = _run_batches(
+            fn,
+            [
+                [100_000, 150_000],  # in order; last = 150s
+                [110_000],           # out-of-order (before last)
+                [175_000],           # 25s after true last -> same session
+            ],
+        )
+        assert emitted == [], "no session should close"
+        start, last, n, total = st.get
+        assert (start, last, n) == (100_000, 175_000, 4)
+
+    def test_true_gap_still_closes(self):
+        from epichypersketch_jl_spark.streaming.stateful import _sessionize_fn
+
+        fn = _sessionize_fn(gap_ms=60_000)
+        emitted, st = _run_batches(fn, [[100_000, 150_000], [250_000]])
+        assert len(emitted) == 1
+        row = emitted[0].iloc[0]
+        assert row.closed_by == "gap" and row.n_events == 2
+        assert st.get[0] == 250_000 and st.get[2] == 1
+
+    def test_late_event_extends_session_start(self):
+        from epichypersketch_jl_spark.streaming.stateful import _sessionize_fn
+
+        fn = _sessionize_fn(gap_ms=60_000)
+        emitted, st = _run_batches(fn, [[100_000], [70_000]])
+        assert emitted == []
+        assert st.get[0] == 70_000 and st.get[1] == 100_000 and st.get[2] == 2
