@@ -35,10 +35,28 @@ def build_spark(cpus: int):
     )
 
 
+def wait_for_quiet(threshold: float = 2.0, timeout_s: float = 120.0) -> float:
+    """Block until the 1-min loadavg settles (bounded).  Kernel memory
+    compaction (khugepaged/kcompactd) after a previous Spark run measurably
+    distorts timings on this box; starting into that churn is not a
+    measurement of the code."""
+    deadline = time.monotonic() + timeout_s
+    load = 0.0
+    while time.monotonic() < deadline:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+        if load < threshold:
+            break
+        time.sleep(5)
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    start_load = wait_for_quiet()
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,31 +78,40 @@ def main() -> None:
     # scan already yields ~cpus partitions (32 files + bytesPerCore split)
     seq = tokenized_sequences(spark, sf_dir).cache()
     n_tokens = seq.selectExpr("sum(n_tok) as t").collect()[0].t
-    t0 = time.monotonic()
-    cms, metrics = build_motif_cms(seq, HyperSketchConfig(motif_size=2, min_count=1, seed=42))
-    build_s = time.monotonic() - t0
+    build_s = None
+    for _rep in range(reps):
+        t0 = time.monotonic()
+        cms, metrics = build_motif_cms(
+            seq, HyperSketchConfig(motif_size=2, min_count=1, seed=42)
+        )
+        dt = time.monotonic() - t0
+        build_s = dt if build_s is None else min(build_s, dt)
     times["sketch_build_k2"] = round(build_s, 3)
     extras["tokens_per_sec"] = round(n_tokens / build_s, 1)
     extras["updates_per_sec"] = round(cms.n_updates / build_s, 1)
     extras["n_tokens"] = int(n_tokens)
     extras["n_updates"] = int(cms.n_updates)
 
+    # cheap Catalyst-only queries first: the wide-table kernel queries leave
+    # allocator/page-cache churn behind that would contaminate them
     bench_queries = {
-        "motifs_k2_summary": ep.q_motifs_k2_summary,
-        "motifs_k3_summary": ep.q_motifs_k3_summary,
-        "conv_motifs_k2": ep.q_conv_motifs_k2,
-        "heavy_tokens": ep.q_heavy_tokens,
         "ntok_stats": ep.q_ntok_stats,
+        "heavy_tokens": ep.q_heavy_tokens,
+        "motifs_k2_summary": ep.q_motifs_k2_summary,
+        "conv_motifs_k2": ep.q_conv_motifs_k2,
+        "motifs_k3_summary": ep.q_motifs_k3_summary,
     }
     for name, fn in bench_queries.items():
         best, n = None, 0
-        for _rep in range(2):  # best-of-2: single-box runs are noisy
+        for _rep in range(reps):  # best-of-N: single-box runs are noisy
             t0 = time.monotonic()
             n = fn(spark, sf_dir).count()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         extras[f"rows_{name}"] = n
+    extras["start_loadavg"] = start_load
+    extras["bench_reps"] = reps
 
     seq.unpersist()
     spark.stop()

@@ -221,15 +221,25 @@ class CountMinSketch(MergeableSketch):
             counts = np.ascontiguousarray(counts, dtype=np.int64)
         idx = self.bucket_indices(keys)  # (d, n)
         if not self.conservative:
-            for r in range(self.depth):
-                # bincount is the fast path for dense repeated increments;
-                # the weightless variant stays on the integer code path
-                if unit:
-                    self.table[r] += np.bincount(idx[r], minlength=self.width)
-                else:
-                    self.table[r] += np.bincount(
-                        idx[r], weights=counts, minlength=self.width
-                    ).astype(np.int64)
+            if n < self.width // 4:
+                # sparse increments: scatter-add in place.  bincount here
+                # would allocate (and mmap/munmap, above the malloc mmap
+                # threshold) a width-sized array per row per call — for a
+                # wide table (eps=1e-5 -> w=272k, 2.2 MB/row) that measured
+                # as GBs of allocation churn per job and page-fault storms
+                # that degraded every subsequent task in the reused workers.
+                for r in range(self.depth):
+                    np.add.at(self.table[r], idx[r], counts)
+            else:
+                for r in range(self.depth):
+                    # bincount is the fast path for dense repeated
+                    # increments; the weightless variant stays integer
+                    if unit:
+                        self.table[r] += np.bincount(idx[r], minlength=self.width)
+                    else:
+                        self.table[r] += np.bincount(
+                            idx[r], weights=counts, minlength=self.width
+                        ).astype(np.int64)
         else:
             self._conservative_update(idx, counts)
         self.n_updates += n if unit else int(counts.sum())
