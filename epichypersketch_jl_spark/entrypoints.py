@@ -260,12 +260,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    lsh = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T)
+    lsh = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T).persist()
     exact = ngram_jaccard_pairs(
         docs, n=3, threshold=JACCARD_T, max_shingle_df=None
     ).select("doc_a", "doc_b")
-    n_bad = lsh.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"], "left_anti").count()
-    n_found = lsh.count()
+    try:
+        n_bad = lsh.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"], "left_anti").count()
+        n_found = lsh.count()
+    finally:
+        lsh.unpersist()
     return spark.createDataFrame(
         [(n_bad, n_found >= 1)],
         schema="n_lsh_pairs_not_in_exact: long, found_any: boolean",
@@ -283,8 +286,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = simhash_near_pairs(docs, max_hamming=3)
-    sh = simhash_64(docs)
+    pairs = simhash_near_pairs(docs, max_hamming=3).persist()
+    sh = simhash_64(docs).persist()
     joined = (
         pairs.join(
             sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"),
@@ -296,16 +299,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hd", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
     )
-    n_viol = joined.filter((F.col("hd") > 3) | (F.col("hd") != F.col("hamming"))).count()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    brute = (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
-        .select("doc_a", "doc_b")
-    )
-    n_missed = brute.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti").count()
+    try:
+        n_viol = joined.filter((F.col("hd") > 3) | (F.col("hd") != F.col("hamming"))).count()
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .select("doc_a", "doc_b")
+        )
+        n_missed = brute.join(
+            pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).count()
+    finally:
+        pairs.unpersist()
+        sh.unpersist()
     return spark.createDataFrame(
         [(n_viol, n_missed)],
         schema="n_hamming_violations: long, n_missed_close_pairs: long",
@@ -359,11 +368,14 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     queries = emb.filter("vec_id < 10")
-    ivf = cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=8)
+    ivf = cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=8).persist()
     exact = cosine_topk(emb, queries, k=10)
-    n_results = ivf.count()
-    n_hits = ivf.select("qid", "nid").join(exact, ["qid", "nid"], "left_semi").count()
-    n_queries = queries.count()
+    try:
+        n_results = ivf.count()
+        n_hits = ivf.select("qid", "nid").join(exact, ["qid", "nid"], "left_semi").count()
+        n_queries = queries.count()
+    finally:
+        ivf.unpersist()
     mean_recall = n_hits / max(n_queries * 10, 1)
     return spark.createDataFrame(
         [(n_queries, n_results, mean_recall >= 0.6)],
@@ -382,7 +394,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.4)
+    pairs = cosine_neardup_lsh(emb, n_planes=4, n_tables=8, threshold=0.4).persist()
     vecs = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
     a = vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
     b = vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
@@ -392,8 +404,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_cosine_expr(F.col("va"), F.col("vb")) >= 0.4)
         .select("doc_a", "doc_b")
     )
-    n_false = pairs.select("doc_a", "doc_b").join(brute, ["doc_a", "doc_b"], "left_anti").count()
-    n_found = pairs.count()
+    try:
+        n_false = (
+            pairs.select("doc_a", "doc_b").join(brute, ["doc_a", "doc_b"], "left_anti").count()
+        )
+        n_found = pairs.count()
+    finally:
+        pairs.unpersist()
     return spark.createDataFrame(
         [(n_false, n_found >= 1)],
         schema="n_false_pairs: long, found_any: boolean",
@@ -452,12 +469,20 @@ TDIGEST_EPS = 0.02  # compression=200
 def _rank_bound_check(
     spark: SparkSession, df: DataFrame, col: str, qs: dict[float, float], eps: float
 ) -> DataFrame:
-    n = df.count()
+    from .errors import InputError
+
+    items = sorted(qs.items())
+    aggs = [F.count("*").alias("n")]
+    for i, (_q, v) in enumerate(items):
+        aggs.append(F.sum((F.col(col) < v).cast("long")).alias(f"lo{i}"))  # rank(v-)
+        aggs.append(F.sum((F.col(col) <= v).cast("long")).alias(f"hi{i}"))  # rank(v+)
+    row = df.agg(*aggs).first()  # one scan for every quantile
+    n = row.n
+    if not n:
+        raise InputError("rank-error bound check over an empty input")
     rows = []
-    for q, v in sorted(qs.items()):
-        lo = df.filter(F.col(col) < v).count()  # rank(v-)
-        hi = df.filter(F.col(col) <= v).count()  # rank(v+)
-        ok = (lo / n <= q + eps) and (hi / n >= q - eps)
+    for i, (q, _v) in enumerate(items):
+        ok = (row[f"lo{i}"] / n <= q + eps) and (row[f"hi{i}"] / n >= q - eps)
         rows.append((float(q), bool(ok)))
     return spark.createDataFrame(rows, schema="q: double, rank_error_ok: boolean")
 

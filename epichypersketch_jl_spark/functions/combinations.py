@@ -78,14 +78,24 @@ def iter_comb_chunks(L: int, k: int, max_cells: int):
     """Yield (n_combs_chunk, k) index matrices covering all C(L,k) subsets,
     each bounded by ~max_cells int64 cells — constant memory regardless of
     L.  The common case (everything fits) yields the single memoized matrix,
-    so the fast path is identical to comb_index_matrix."""
+    so the fast path is identical to comb_index_matrix.  Under the
+    materialization ceiling, chunks are zero-copy SLICES of the memoized
+    matrix (re-running the Python-level itertools enumeration once per
+    kernel row-chunk measured as pure hot-path overhead); the streaming
+    itertools path is reserved for combination spaces too large to ever
+    materialize."""
     if k > L or k < 1:
         return
     total_cells = comb(L, k) * k
+    rows_per = max(1024, max_cells // max(k, 1))
     if total_cells <= min(max_cells, COMB_MATRIX_MAX_CELLS):
         yield comb_index_matrix(L, k)
         return
-    rows_per = max(1024, max_cells // max(k, 1))
+    if total_cells <= COMB_MATRIX_MAX_CELLS:
+        m = comb_index_matrix(L, k)
+        for i in range(0, m.shape[0], rows_per):
+            yield m[i : i + rows_per]
+        return
     it = combinations(range(L), k)
     while True:
         arr = np.fromiter(chain.from_iterable(islice(it, rows_per)), dtype=np.int64)

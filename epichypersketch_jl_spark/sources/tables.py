@@ -64,7 +64,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _is_catalog_namespace(sf_dir: str) -> bool:
-    return "/" not in sf_dir and "\\" not in sf_dir and not os.path.exists(sf_dir)
+    """Catalog namespaces look like `catalog.db` (dotted, no path separator,
+    not an existing directory).  Requiring the dot keeps a mistyped relative
+    parquet directory on the path branch, where the scan error is legible."""
+    return (
+        "." in sf_dir
+        and "/" not in sf_dir
+        and "\\" not in sf_dir
+        and not os.path.exists(sf_dir)
+    )
 
 
 # --------------------------------------------------------------- vocabulary
@@ -262,15 +270,23 @@ def tokenize_with_vocab_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_positions: bool = False,
+    unknown: str = "error",
 ) -> DataFrame:
     """Fully distributed tokenizer for unbounded vocabularies: posexplode the
     words, shuffle-join against the (w, tok) codebook, regroup per document
     preserving word order.  No codebook ever reaches the driver.  Costs two
     shuffles over the token stream — the price of an unbroadcastable vocab.
 
+    Words absent from the codebook follow `unknown` (same contract as
+    documents_sequences): "error" raises executor-side via raise_error — a
+    silent inner-join drop would shorten tokens/n_tok and renumber positions
+    with no signal; "zero" maps them to the reserved padding id 0.
+
     Output schema and values are identical to documents_sequences (verified
     by tests/test_tokenizer_cache.py).
     """
+    if unknown not in ("error", "zero"):
+        raise InputError(f"unknown= must be 'error' or 'zero', got {unknown!r}")
     carry = [c for c in docs.columns if c not in (id_col, text_col)]
     words = (
         docs.select(
@@ -280,7 +296,19 @@ def tokenize_with_vocab_join(
         )
         .filter(F.col("w") != "")
     )
-    joined = words.join(vocab_df, "w")
+    joined = words.join(vocab_df, "w", "left")
+    if unknown == "error":
+        tok_expr = F.when(
+            F.col("tok").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("word '"), F.col("w"), F.lit("' not in the supplied vocabulary")
+                )
+            ).cast("int"),
+        ).otherwise(F.col("tok"))
+    else:
+        tok_expr = F.coalesce(F.col("tok"), F.lit(0))
+    joined = joined.withColumn("tok", tok_expr)
     grouped = (
         joined.groupBy(id_col)
         .agg(
@@ -363,7 +391,13 @@ def tokenized_sequences(
     strategy: "broadcast" (driver codebook, bounded vocab), "join"
     (shuffle-join tokenizer, unbounded vocab), or "auto" (count the vocab,
     pick by VOCAB_BROADCAST_MAX).
+
+    Catalog-namespace inputs bypass the cache entirely: their contents
+    cannot be fingerprinted from the filesystem, and serving a stale cache
+    after the catalog table is rewritten would be silent corruption.
     """
+    if _is_catalog_namespace(sf_dir):
+        return documents_sequences(spark, sf_dir, with_positions=with_positions)
     path = tokenized_cache_path(sf_dir)
     if not _cache_complete(path):
         _build_token_cache(spark, sf_dir, path, strategy)

@@ -57,12 +57,18 @@ def _sessionize_fn(gap_ms: int):
             # Out-of-order events (t <= last, still above the watermark) must
             # never move `last` backwards: a rewound `last` would make the
             # next in-order event falsely measure a > gap distance and close
-            # the session early.  A late event within the current session
-            # merges into it (extending `start` backwards if it precedes it);
-            # gap distance is always measured from the running max timestamp.
+            # the session early.  A late event merges into the current
+            # session only if it is within gap of its window (extending
+            # `start` backwards at most gap_ms); older stragglers belong to
+            # an already-emitted session and are emitted as their own
+            # singleton late session rather than stretching the current one
+            # across a gap boundary.
             if t - last > gap_ms and n > 0:
                 out.append((user_id, start, last, n, total, "gap"))
                 start, n, total = t, 0, 0.0
+            elif n > 0 and start - t > gap_ms:
+                out.append((user_id, t, t, 1, float(v), "late"))
+                continue
             start = min(start, t)
             last = max(last, t)
             n += 1
@@ -94,9 +100,11 @@ def sessionize(
 ) -> DataFrame:
     """Gap-based sessionization of an event stream.
 
-    Emits one row per closed session: closed either by a later event
-    arriving past the gap, or by event-time timeout under the watermark.
-    State is bounded: one fixed-size tuple per active key.
+    Emits one row per closed session: closed by a later event arriving past
+    the gap ("gap"), by event-time timeout under the watermark ("timeout"),
+    or — for an above-watermark straggler older than the current session's
+    reach — as a singleton "late" session.  State is bounded: one fixed-size
+    tuple per active key.
     """
     qty = {"minute": 60_000, "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
            "second": 1_000, "seconds": 1_000}

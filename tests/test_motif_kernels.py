@@ -206,12 +206,32 @@ class TestCombChunking:
             iter_comb_chunks,
         )
 
-        full = comb_index_matrix(12, 3)
-        chunks = list(iter_comb_chunks(12, 3, max_cells=90))  # forces many chunks
+        # C(20,3) = 1140 > the 1024-combination chunk floor, so a tiny
+        # max_cells genuinely splits the space (guards the slice boundaries)
+        full = comb_index_matrix(20, 3)
+        chunks = list(iter_comb_chunks(20, 3, max_cells=90))
+        assert len(chunks) > 1, "must exercise the multi-chunk path"
         got = np.concatenate(chunks)
         assert np.array_equal(got, full)
-        assert all(c.shape[0] * 3 <= max(90, 3 * 1024) for c in chunks)
-        assert comb(12, 3) == got.shape[0]
+        assert all(c.shape[0] <= 1024 for c in chunks)
+        assert comb(20, 3) == got.shape[0]
+
+    def test_streaming_chunks_above_ceiling(self):
+        """Above the materialization ceiling the itertools path must still
+        cover the space exactly once (compare a prefix + total count)."""
+        from itertools import combinations, islice
+        from math import comb
+
+        from epichypersketch_jl_spark.functions.combinations import iter_comb_chunks
+
+        L, k = 500, 3  # C(500,3)*3 ~ 6.2e7 cells < ceiling... use 700
+        L = 700  # C(700,3)*3 = 1.7e8 cells > 64M ceiling
+        it = iter_comb_chunks(L, k, max_cells=3 * 200_000)
+        first = next(it)
+        expect = np.array(list(islice(combinations(range(L), k), len(first))))
+        assert np.array_equal(first, expect)
+        total = len(first) + sum(len(c) for c in it)
+        assert total == comb(L, k)
 
     def test_kernel_results_invariant_under_chunking(self):
         """Build + aggregate over a long sequence must produce identical

@@ -51,7 +51,7 @@ class TestSessionize:
         q.awaitTermination(240)
         got = spark.sql("select * from sessions").toPandas()
         assert len(got) > 0
-        assert set(got["closed_by"]) <= {"gap", "timeout"}
+        assert set(got["closed_by"]) <= {"gap", "timeout", "late"}
 
         exact = _batch_sessions(ev.toPandas(), 30 * 60_000)
         got["start_ms"] = got["session_start"].astype("int64") // 1_000_000
@@ -136,3 +136,22 @@ class TestSessionizeOutOfOrder:
         emitted, st = _run_batches(fn, [[100_000], [70_000]])
         assert emitted == []
         assert st.get[0] == 70_000 and st.get[1] == 100_000 and st.get[2] == 2
+
+
+    def test_too_late_event_emitted_as_singleton(self):
+        """A straggler older than the current session's reach must not
+        stretch the session start across a gap boundary (review finding):
+        it is emitted as its own late session."""
+        from epichypersketch_jl_spark.streaming.stateful import _sessionize_fn
+
+        fn = _sessionize_fn(gap_ms=60_000)
+        emitted, st = _run_batches(fn, [[100_000], [250_000], [150_000]])
+        rows = pd.concat(emitted).reset_index(drop=True)
+        # batch2 closed [100k,100k] by gap; batch3's 150k is > gap older
+        # than the current session (start 250k) -> singleton late session
+        assert list(rows.closed_by) == ["gap", "late"]
+        late = rows.iloc[1]
+        assert late.n_events == 1
+        assert late.session_start == late.session_end
+        # current session is untouched
+        assert st.get[0] == 250_000 and st.get[2] == 1

@@ -64,6 +64,23 @@ class TestJoinTokenizer:
         vdf.unpersist_source()
         assert ja == ba
 
+    def test_unknown_word_raises_in_join_path(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b mystery", "s")], "doc_id: long, text: string, source: string"
+        )
+        vocab = spark.createDataFrame([("a", 1), ("b", 2)], "w: string, tok: int")
+        with pytest.raises(Exception) as ei:
+            tokenize_with_vocab_join(docs, vocab).collect()
+        assert "vocabulary" in str(ei.value)
+
+    def test_unknown_word_zero_in_join_path(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a mystery b", "s")], "doc_id: long, text: string, source: string"
+        )
+        vocab = spark.createDataFrame([("a", 1), ("b", 2)], "w: string, tok: int")
+        out = tokenize_with_vocab_join(docs, vocab, unknown="zero").collect()
+        assert list(out[0].tokens) == [1, 0, 2]
+
     def test_empty_doc_kept(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b a", "s"), (2, "   ", "s"), (3, "", "s")],
