@@ -157,15 +157,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — vectorized MinHash over word n-grams.
 
-    Per Arrow batch: flatten all shingles, 64-bit-hash them once, then for
-    each permutation apply (a*h+b) mod Mersenne61 and take per-doc minima
-    with np.minimum.reduceat — no per-row Python.
+    Shingles are 64-bit-hashed JVM-side (xxhash64 inside a transform), so
+    only int64 arrays cross the Arrow boundary — shipping the shingle
+    STRINGS and object-hashing them in Python measured ~10x the kernel
+    itself at the 1M-doc tier.  Per Arrow batch: splitmix-finalize the
+    hashes, then for each permutation apply (a*h+b) mod Mersenne61 and take
+    per-doc minima with np.minimum.reduceat — no per-row Python.
     """
-    import pandas as pd
-
     a_co, b_co = _minhash_params(num_perm, seed)
     shingled = word_shingles(df.select(id_col, text_col), text_col, n).select(
-        id_col, F.array_distinct("shingles").alias("shingles")
+        id_col,
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hs"),
     )
     out_schema = StructType(
         [
@@ -176,19 +180,18 @@ def minhash_signatures(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column("shingles")
+            col = batch.column("hs")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_pandas().to_numpy(dtype=object)
+            flat = col.values.to_numpy(zero_copy_only=False)
             # align with (possibly sliced) offsets and rebase to 0
             flat = flat[offsets[0] : offsets[-1]]
             offsets = offsets - offsets[0]
             n_docs = batch.num_rows
             sig = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
             if len(flat):
-                h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
-                h = splitmix64(h)
+                h = splitmix64(flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64))
                 lengths = np.diff(offsets)
                 nonempty = np.flatnonzero(lengths > 0)
                 if nonempty.size:
@@ -233,15 +236,22 @@ def minhash_lsh_pairs(
     # doc with every other — drop them (they cannot be near-duplicates by
     # shingle Jaccard anyway)
     sigs = sigs.filter(F.element_at("sig", 1) != (2**63 - 1))
+    # hash the r raw longs of each band directly (xxhash64 is variadic);
+    # an array<string> cast here measured as the single most expensive
+    # stage of the whole pipeline at the 1M-doc tier
     banded = sigs.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.slice("sig", bi * r + 1, r).cast("array<string>")).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig").getItem(bi * r + j) for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
@@ -285,10 +295,15 @@ def minhash_lsh_pairs(
 def simhash_64(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over word features, vectorized."""
-    import pandas as pd
+    """(doc_id, simhash: long) — 64-bit SimHash over word features.
 
-    words_df = df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+    Word features are 64-bit-hashed JVM-side (xxhash64 in a transform) so
+    only int64 arrays cross the Arrow boundary; the kernel folds the ±1 bit
+    matrix vectorized (no per-row Python)."""
+    words_df = df.select(
+        id_col,
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias("ws"),
+    )
     out_schema = StructType([words_df.schema[id_col], StructField("simhash", LongType(), False)])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -297,14 +312,14 @@ def simhash_64(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_pandas().to_numpy(dtype=object)
+            flat = col.values.to_numpy(zero_copy_only=False)
             flat = flat[offsets[0] : offsets[-1]]
             offsets = offsets - offsets[0]
             n_docs = batch.num_rows
             out = np.zeros(n_docs, dtype=np.uint64)
             if len(flat):
                 h = splitmix64(
-                    pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+                    (flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64))
                     ^ _U(seed)
                 )
                 # doc index of every word
