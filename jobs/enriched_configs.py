@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--summary", action="store_true", help="aggregated counts instead of occurrences")
     ap.add_argument("--metrics-dir", default=None, help="lineage/metrics JSONL dir")
+    ap.add_argument(
+        "--memory-budget-mb",
+        type=int,
+        default=None,
+        help="per-task kernel memory budget; sizes chunk cap AND the Arrow "
+        "batch rows via the memory planner (plans/memory.py)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"ehs-enriched-k{args.k}").getOrCreate()
@@ -57,10 +64,31 @@ def main() -> None:
         filter_len=args.filter_len if args.mode == "conv" else 0,
         seed=args.seed,
         conservative=args.conservative,
+        memory_budget_bytes=(
+            args.memory_budget_mb * (1 << 20) if args.memory_budget_mb else None
+        ),
     )
     df = spark.read.parquet(args.input)
     if args.mode == "ordinary" and "positions" in df.columns:
         df = df.drop("positions")
+
+    if cfg.memory_budget_bytes is not None:
+        # apply the planner's Arrow batch sizing session-wide (the chunk cap
+        # side is resolved inside the pipeline via planned_config)
+        from epichypersketch_jl_spark.plans.memory import (
+            observed_typical_len,
+            plan_memory,
+        )
+
+        plan = plan_memory(
+            cfg,
+            typical_len=observed_typical_len(df, cfg),
+            budget_bytes=cfg.memory_budget_bytes,
+            conv=(args.mode == "conv"),
+        )
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(plan.arrow_batch_rows)
+        )
 
     cms, task_metrics = build_motif_cms(
         df, cfg, checkpoint_dir=args.checkpoint_dir, n_buckets=args.n_buckets

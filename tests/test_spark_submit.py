@@ -66,3 +66,28 @@ class TestSparkSubmit:
             rec = json.loads(f.readline())
         assert rec["job"] == "enriched_configs"
         assert rec["totals"]["n_updates"] > 0 and rec["n_tasks"] >= 1
+
+
+    def test_enriched_configs_with_memory_budget(self, spark, dist_zip, tmp_path):
+        """--memory-budget-mb routes through the planner (chunk cap + Arrow
+        batch rows) and must not change results."""
+        from epichypersketch_jl_spark.sources.synth import corpus_to_df, planted_motif_corpus
+
+        inp = str(tmp_path / "seqs2")
+        outp = str(tmp_path / "occ2")
+        corpus_to_df(spark, planted_motif_corpus(), n_partitions=4).write.parquet(inp)
+        r = _spark_submit(
+            dist_zip,
+            "enriched_configs.py",
+            "--input", inp, "--output", outp,
+            "--k", "3", "--min-count", "8", "--summary",
+            "--memory-budget-mb", "64",
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        got = spark.read.parquet(outp).toPandas()
+        motifs = set(map(tuple, got[["m1", "m2", "m3"]].values.tolist()))
+        from epichypersketch_jl_spark.sources.synth import PLANTED_ORDINARY
+
+        for motif, cnt in PLANTED_ORDINARY.items():
+            if cnt >= 8:
+                assert motif in motifs
