@@ -523,6 +523,22 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semijoin(orders, "o_custkey", bloom).select("o_orderkey", "o_custkey")
 
 
+def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency-gated semi-join (heavy-hitter gate without a count
+    table): keep orders whose customer placed >= 20 orders, judged by a
+    CMS built over o_custkey.  Exact-parity regime (distinct custkeys <<
+    width), so the exact GROUP BY/HAVING recount is a valid oracle."""
+    from .operators.cardinality import build_cms_over_column, cms_semijoin
+
+    orders = read_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cms = build_cms_over_column(orders, "o_custkey", seed=42)
+    return cms_semijoin(orders, "o_custkey", cms, min_count=20).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
@@ -551,6 +567,7 @@ QUERIES = {
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_event_value": q_tdigest_event_value,
     "bloom_semijoin": q_bloom_semijoin,
+    "cms_frequency_gate": q_cms_frequency_gate,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -789,6 +806,12 @@ FROM w GROUP BY source ORDER BY source
     "bloom_semijoin": """
 SELECT o_orderkey, o_custkey FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+""",
+    "cms_frequency_gate": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+)
 """,
     # Bound-check oracles: the Spark side does the real verification work
     # (estimate vs exact companion / subset vs brute force); the oracle pins

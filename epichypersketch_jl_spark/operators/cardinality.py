@@ -155,3 +155,63 @@ def bloom_semijoin(
                 yield batch.filter(pa.array(mask))
 
     return df.mapInArrow(fn, src_schema)
+
+
+def build_cms_over_column(
+    df: DataFrame,
+    value_col: str,
+    *,
+    delta: float = 1e-4,
+    epsilon: float = 5e-5,
+    seed: int = 42,
+    conservative: bool = False,
+):
+    """Distributed CMS over a scalar integer column (key_width=1): the
+    frequency companion to build_bloom.  Same map-only build + associative
+    merge as the motif pipeline."""
+    from ..sketches.cms import CountMinSketch
+    from .sketch_build import build_sketch_distributed
+
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+
+    def update(sk, batch, stats):
+        if is_list:
+            vals, _ = list_column_to_numpy(batch.column(value_col))
+        else:
+            vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        sk.update_batch_grouped(vals.astype(np.int64))
+        stats["n_rows"] += batch.num_rows
+        stats["n_updates"] += len(vals)
+
+    zero = lambda: CountMinSketch(  # noqa: E731
+        delta=delta, epsilon=epsilon, key_width=1, seed=seed, conservative=conservative
+    )
+    sk, _ = build_sketch_distributed(df.select(value_col), zero, update)
+    return sk
+
+
+def cms_semijoin(
+    df: DataFrame, probe_col: str, cms, *, min_count: int
+) -> DataFrame:
+    """Frequency-gated semi-join: keep rows whose probe_col's CMS estimate
+    is >= min_count — the heavy-hitter filter a training pipeline uses to
+    gate on corpus-wide frequency WITHOUT materializing a count table.
+
+    Never drops a truly-frequent key (CMS never undercounts); rare keys may
+    survive with probability <= delta (overcount).  Ships a fixed-size
+    sketch to every task instead of shuffling a count table — the same
+    pre-shuffle-reducer shape as bloom_semijoin.
+    """
+    spark = df.sparkSession
+    blob = spark.sparkContext.broadcast(cms.to_bytes())
+    src_schema = df.schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = from_bytes(blob.value)
+        for batch in batches:
+            vals = batch.column(probe_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = sk.estimate_grouped(vals) >= min_count
+            if mask.any():
+                yield batch.filter(pa.array(mask))
+
+    return df.mapInArrow(fn, src_schema)

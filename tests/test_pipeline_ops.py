@@ -222,3 +222,32 @@ class TestRound2Fixes:
         )
         out = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=None).toPandas()
         assert len(out) == 1 and out.iloc[0].n_common == 2
+
+
+class TestCmsSemijoin:
+    def test_never_drops_frequent_keys(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import (
+            build_cms_over_column,
+            cms_semijoin,
+        )
+
+        rows = [(i, 7) for i in range(50)] + [(100 + i, i + 1000) for i in range(30)]
+        df = spark.createDataFrame(rows, "row_id: long, key: long").repartition(4)
+        cms = build_cms_over_column(df, "key", seed=3)
+        out = cms_semijoin(df, "key", cms, min_count=50).toPandas()
+        # key 7 occurs 50x -> all its rows survive (CMS never undercounts)
+        assert (out.key == 7).sum() == 50
+        # at parity widths the singletons are filtered exactly
+        assert set(out.key.unique()) == {7}
+
+    def test_gate_matches_exact_recount(self, spark, sf_dir):
+        from epichypersketch_jl_spark.entrypoints import q_cms_frequency_gate
+        from epichypersketch_jl_spark.sources.tables import read_table
+
+        got = q_cms_frequency_gate(spark, sf_dir).toPandas()
+        orders = read_table(spark, sf_dir, "orders").toPandas()
+        counts = orders.groupby("o_custkey").size()
+        keep = set(counts[counts >= 20].index)
+        expect = orders[orders.o_custkey.isin(keep)][["o_orderkey", "o_custkey"]]
+        assert len(got) == len(expect)
+        assert set(map(tuple, got.values.tolist())) == set(map(tuple, expect.values.tolist()))

@@ -88,3 +88,28 @@ def test_bloom_union_no_false_negatives(vals, cut):
     m = a.merge(b)
     if len(arr):
         assert m.contains(arr).all()
+
+
+@given(
+    L=st.integers(min_value=1, max_value=26),
+    k=st.integers(min_value=1, max_value=4),
+    max_cells=st.integers(min_value=1, max_value=20000),
+)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_comb_chunks_cover_exactly_once(L, k, max_cells):
+    """Any (L, k, max_cells): concatenated chunks == the full lexicographic
+    combination matrix, with no duplicates or gaps."""
+    from math import comb
+
+    from epichypersketch_jl_spark.functions.combinations import (
+        comb_index_matrix,
+        iter_comb_chunks,
+    )
+
+    chunks = list(iter_comb_chunks(L, k, max_cells))
+    if k > L:
+        assert chunks == []
+        return
+    got = np.concatenate(chunks) if chunks else np.empty((0, k), dtype=np.int64)
+    assert got.shape[0] == comb(L, k)
+    assert np.array_equal(got, comb_index_matrix(L, k))
