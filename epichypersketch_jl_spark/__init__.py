@@ -19,6 +19,7 @@ All inner math is vectorized numpy over Arrow batches — no per-row Python.
 """
 
 from .config import HyperSketchConfig
+from .session import get_session, session_builder
 from .sketches.cms import CountMinSketch
 from .sketches.hll import HyperLogLog
 from .sketches.bloom import BloomFilter
@@ -28,6 +29,8 @@ from .sketches.tdigest import TDigest
 __version__ = "0.1.0"
 
 __all__ = [
+    "get_session",
+    "session_builder",
     "HyperSketchConfig",
     "CountMinSketch",
     "HyperLogLog",

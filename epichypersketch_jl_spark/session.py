@@ -1,0 +1,52 @@
+"""SparkSession builder defaults for this engine.
+
+Codifies the session configuration the operators are designed around, so a
+user switching from the reference gets the intended plan shapes without
+archaeology through jobs/ and bench.py:
+
+  * AQE on — runtime coalescing + skew-join handling for the dedup /
+    similarity self-joins;
+  * Arrow batch size bounded — the motif kernels chunk internally via
+    max_cells, but the Arrow transfer batch is what bounds transient
+    JVM->Python buffers;
+  * shuffle partitions sized to the cluster rather than the 200 default.
+
+Everything here is a default — any user-provided conf wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ARROW_BATCH_ROWS = 4096
+
+
+def session_builder(
+    app_name: str = "epichypersketch",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = DEFAULT_ARROW_BATCH_ROWS,
+) -> "SparkSession.Builder":
+    """Builder pre-loaded with the engine's recommended configuration.
+
+    shuffle_partitions defaults to 2x the default parallelism at session
+    start on a real cluster; pass an explicit value for deterministic
+    plans in tests.
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b
+
+
+def get_session(app_name: str = "epichypersketch", **kw) -> SparkSession:
+    return session_builder(app_name, **kw).getOrCreate()

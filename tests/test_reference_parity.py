@@ -136,3 +136,63 @@ class TestPartitioningEdgeCases:
 
         expected = sum(comb(L, 2) for L in lengths)
         assert len(out) == expected
+
+
+class TestWeightedConvAggregate:
+    def test_motif_counts_matches_occurrence_sum(self, spark):
+        """Conv mode + weights through the AGGREGATED kernel must equal the
+        occurrence-level extraction summed per key."""
+        import numpy as np
+        import pandas as pd
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(40):
+            L = int(rng.integers(3, 9))
+            toks = rng.integers(1, 6, size=L)
+            rows.append(
+                (
+                    f"d{i}",
+                    [int(t) for t in toks],
+                    [int(p) for p in range(1, L + 1)],
+                    [float(w) for w in rng.integers(1, 4, size=L)],
+                    L,
+                    "s",
+                )
+            )
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "tokens", "positions", "weights", "n_tok", "source"]
+        )
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("doc_id", StringType()),
+                StructField("tokens", ArrayType(IntegerType())),
+                StructField("positions", ArrayType(IntegerType())),
+                StructField("weights", ArrayType(DoubleType())),
+                StructField("n_tok", IntegerType()),
+                StructField("source", StringType()),
+            ]
+        )
+        df = spark.createDataFrame(pdf, schema=schema).repartition(4)
+        cfg = HyperSketchConfig(motif_size=2, min_count=2, filter_len=1, seed=3)
+        from epichypersketch_jl_spark.operators.motif import motif_counts
+
+        agg = motif_counts(df, cfg).toPandas()
+        occ = enriched_configurations(df, cfg, validate=False).toPandas()
+        ref = (
+            occ.groupby(["m1", "m2", "d12"])
+            .agg(n=("contribution", "size"), tc=("contribution", "sum"))
+            .reset_index()
+        )
+        m = agg.merge(ref, on=["m1", "m2", "d12"], how="outer", indicator=True)
+        assert (m["_merge"] == "both").all()
+        assert (m["n_occurrences"] == m["n"]).all()
+        assert np.allclose(m["total_contribution"], m["tc"])

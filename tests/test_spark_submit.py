@@ -91,3 +91,14 @@ class TestSparkSubmit:
         for motif, cnt in PLANTED_ORDINARY.items():
             if cnt >= 8:
                 assert motif in motifs
+
+
+class TestSessionHelper:
+    def test_builder_sets_recommended_confs(self):
+        from epichypersketch_jl_spark.session import session_builder
+
+        b = session_builder("t", master="local[1]", shuffle_partitions=4)
+        opts = b._options
+        assert opts["spark.sql.adaptive.enabled"] == "true"
+        assert opts["spark.sql.execution.arrow.maxRecordsPerBatch"] == "4096"
+        assert opts["spark.sql.shuffle.partitions"] == "4"
