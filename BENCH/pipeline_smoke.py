@@ -67,7 +67,7 @@ def build(docs: int):
     if not os.path.exists(data):
         base.repartition(128).write.mode("overwrite").parquet(data)
     df = spark.read.parquet(data)
-    planted = docs // 100  # dids 1, 101, 201, ...
+    planted = len(range(1, docs, 100))  # dids 1, 101, 201, ... < docs
 
     out = {"docs": docs, "planted_neardups": planted}
 
@@ -85,7 +85,8 @@ def build(docs: int):
     n_pairs = pairs.count()
     out["minhash_lsh_sec"] = round(time.monotonic() - t0, 1)
     out["lsh_pairs_found"] = n_pairs
-    out["lsh_recall_vs_planted"] = round(n_pairs / planted, 4)
+    if planted:
+        out["lsh_recall_vs_planted"] = round(n_pairs / planted, 4)
 
     # ---- IVF ANN over 1M synthetic embeddings (dim 64)
     emb = (

@@ -136,25 +136,32 @@ def build_bloom(
     return merged["__all__"]
 
 
+def _sketch_filter(df: DataFrame, probe_col: str, sketch_bytes: bytes, mask_fn) -> DataFrame:
+    """Shared pre-shuffle reducer shape: broadcast one fixed-size sketch
+    blob, filter each Arrow batch by mask_fn(sketch, probe_values) — no
+    join, no shuffle (plan pinned by tests/test_plan_shapes.py)."""
+    spark = df.sparkSession
+    blob = spark.sparkContext.broadcast(sketch_bytes)
+    src_schema = df.schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = from_bytes(blob.value)
+        for batch in batches:
+            vals = batch.column(probe_col).to_numpy(zero_copy_only=False)
+            mask = mask_fn(sk, vals)
+            if mask.any():
+                yield batch.filter(pa.array(mask))
+
+    return df.mapInArrow(fn, src_schema)
+
+
 def bloom_semijoin(
     df: DataFrame, probe_col: str, bloom: BloomFilter
 ) -> DataFrame:
     """Filter df to rows whose probe_col might be in the bloom (no false
     negatives; FP rate per filter params).  The classic pre-shuffle
     semi-join reducer: ships a fixed-size bitset instead of a join."""
-    spark = df.sparkSession
-    blob = spark.sparkContext.broadcast(bloom.to_bytes())
-    src_schema = df.schema
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bf = from_bytes(blob.value)
-        for batch in batches:
-            vals = batch.column(probe_col).to_numpy(zero_copy_only=False)
-            mask = bf.contains(vals)
-            if mask.any():
-                yield batch.filter(pa.array(mask))
-
-    return df.mapInArrow(fn, src_schema)
+    return _sketch_filter(df, probe_col, bloom.to_bytes(), lambda sk, v: sk.contains(v))
 
 
 def build_cms_over_column(
@@ -202,16 +209,9 @@ def cms_semijoin(
     sketch to every task instead of shuffling a count table — the same
     pre-shuffle-reducer shape as bloom_semijoin.
     """
-    spark = df.sparkSession
-    blob = spark.sparkContext.broadcast(cms.to_bytes())
-    src_schema = df.schema
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        sk = from_bytes(blob.value)
-        for batch in batches:
-            vals = batch.column(probe_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            mask = sk.estimate_grouped(vals) >= min_count
-            if mask.any():
-                yield batch.filter(pa.array(mask))
-
-    return df.mapInArrow(fn, src_schema)
+    return _sketch_filter(
+        df,
+        probe_col,
+        cms.to_bytes(),
+        lambda sk, v: sk.estimate_grouped(v.astype(np.int64)) >= min_count,
+    )

@@ -146,6 +146,21 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+
+def _flat_uint64_list(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(flat_uint64, rebased_offsets) for a (possibly sliced) Arrow list
+    column of 64-bit hashes — the shared kernel preamble for MinHash and
+    SimHash."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    flat = flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64)
+    return flat, offsets
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -180,18 +195,11 @@ def minhash_signatures(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column("hs")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_numpy(zero_copy_only=False)
-            # align with (possibly sliced) offsets and rebase to 0
-            flat = flat[offsets[0] : offsets[-1]]
-            offsets = offsets - offsets[0]
+            flat, offsets = _flat_uint64_list(batch.column("hs"))
             n_docs = batch.num_rows
             sig = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
             if len(flat):
-                h = splitmix64(flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64))
+                h = splitmix64(flat)
                 lengths = np.diff(offsets)
                 nonempty = np.flatnonzero(lengths > 0)
                 if nonempty.size:
@@ -308,20 +316,11 @@ def simhash_64(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            col = batch.column("ws")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            offsets = col.offsets.to_numpy().astype(np.int64)
-            flat = col.values.to_numpy(zero_copy_only=False)
-            flat = flat[offsets[0] : offsets[-1]]
-            offsets = offsets - offsets[0]
+            flat, offsets = _flat_uint64_list(batch.column("ws"))
             n_docs = batch.num_rows
             out = np.zeros(n_docs, dtype=np.uint64)
             if len(flat):
-                h = splitmix64(
-                    (flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64))
-                    ^ _U(seed)
-                )
+                h = splitmix64(flat ^ _U(seed))
                 # doc index of every word
                 doc_of = np.repeat(np.arange(n_docs), np.diff(offsets))
                 acc = np.zeros((n_docs, 64), dtype=np.int64)

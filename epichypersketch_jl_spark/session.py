@@ -30,9 +30,10 @@ def session_builder(
 ) -> "SparkSession.Builder":
     """Builder pre-loaded with the engine's recommended configuration.
 
-    shuffle_partitions defaults to 2x the default parallelism at session
-    start on a real cluster; pass an explicit value for deterministic
-    plans in tests.
+    shuffle_partitions: set explicitly for deterministic plans in tests;
+    when None, `get_session` sizes it to 2x the cluster's default
+    parallelism after the session starts (the builder itself cannot know
+    the cluster size).
     """
     b = SparkSession.builder.appName(app_name)
     if master:
@@ -49,4 +50,15 @@ def session_builder(
 
 
 def get_session(app_name: str = "epichypersketch", **kw) -> SparkSession:
-    return session_builder(app_name, **kw).getOrCreate()
+    """Create (or get) a session with the recommended configuration; when
+    shuffle_partitions was not given, size it to 2x the default parallelism
+    — AQE only coalesces DOWN, so the 200 default silently caps wide-stage
+    parallelism on big clusters."""
+    explicit = kw.get("shuffle_partitions") is not None
+    spark = session_builder(app_name, **kw).getOrCreate()
+    if not explicit:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
+    return spark

@@ -73,8 +73,12 @@ def main() -> None:
         df = df.drop("positions")
 
     if cfg.memory_budget_bytes is not None:
-        # apply the planner's Arrow batch sizing session-wide (the chunk cap
-        # side is resolved inside the pipeline via planned_config)
+        # resolve the plan ONCE: set the Arrow batch sizing session-wide and
+        # bake max_cells into cfg (clearing the budget so planned_config
+        # inside the pipeline doesn't re-run the typical-length job twice
+        # more per submit)
+        import dataclasses
+
         from epichypersketch_jl_spark.plans.memory import (
             observed_typical_len,
             plan_memory,
@@ -88,6 +92,9 @@ def main() -> None:
         )
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(plan.arrow_batch_rows)
+        )
+        cfg = dataclasses.replace(
+            cfg, max_cells=plan.max_cells, memory_budget_bytes=None
         )
 
     cms, task_metrics = build_motif_cms(
