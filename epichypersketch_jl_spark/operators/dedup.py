@@ -208,11 +208,15 @@ def minhash_signatures(
                         for p in range(num_perm):
                             hp = ((a_co[p] * h + b_co[p]) % _U(_MERSENNE)).astype(np.int64)
                             sig[nonempty, p] = np.minimum.reduceat(hp, starts)
+            # vectorized ListArray construction: pa.array(list(sig)) would
+            # convert all n_docs*num_perm elements one Python object at a
+            # time (measured ~10x the whole MinHash kernel at the 1M tier)
+            offs = pa.array(
+                np.arange(0, (n_docs + 1) * num_perm, num_perm, dtype=np.int32)
+            )
+            sig_col = pa.ListArray.from_arrays(offs, pa.array(sig.ravel()))
             yield pa.RecordBatch.from_pydict(
-                {
-                    id_col: batch.column(id_col),
-                    "sig": pa.array(list(sig), type=pa.list_(pa.int64())),
-                }
+                {id_col: batch.column(id_col), "sig": sig_col}
             )
 
     return shingled.mapInArrow(fn, out_schema)
@@ -275,9 +279,18 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only
+    # exact verify on candidates only: semi-join the raw docs down to the
+    # candidate ids FIRST, so shingles are recomputed for ~|candidates| docs
+    # instead of the whole corpus twice (candidate count tracks near-dup
+    # density, not corpus size)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_small = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
     sh = (
-        word_shingles(df.select(id_col, text_col), text_col, n)
+        word_shingles(docs_small, text_col, n)
         .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
     )
     out = (

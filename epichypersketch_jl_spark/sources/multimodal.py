@@ -100,10 +100,15 @@ def decode_features(
         for batch in batches:
             blobs = batch.column(payload_col).to_pylist()
             feats = _fake_decode(blobs, dim, seed)
+            n = feats.shape[0]
+            offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+            feat_col = pa.ListArray.from_arrays(
+                offs, pa.array(feats.astype(np.float32).ravel())
+            )
             yield pa.RecordBatch.from_pydict(
                 {
                     id_col: batch.column(id_col),
-                    "features": pa.array(list(feats), type=pa.list_(pa.float32())),
+                    "features": feat_col,
                     "n_bytes": pa.array(
                         np.array([len(b) for b in blobs], dtype=np.int32)
                     ),
