@@ -174,3 +174,44 @@ class TestCatalogDispatch:
         out = read_table(spark, "my_catalog.db", "events")
         assert out == "TABLE_DF"
         assert calls["ident"] == "my_catalog.db.events"
+
+
+class TestTokenizerAdversarial:
+    CASES = [
+        (1, "héllo wörld héllo", "s"),
+        (2, "  leading and   multiple  spaces ", "s"),
+        (3, "single", "s"),
+        (4, "", "s"),
+        (5, "tab\tis one word", "s"),  # split on space only
+        (6, "ZZZ aaa ZZZ aaa", "s"),
+        (7, "ümlaut Ümlaut ümlaut", "s"),  # case-distinct unicode
+        (8, "a " * 200 + "b", "s"),  # long repetitive doc
+    ]
+
+    def test_broadcast_equals_join_on_edge_cases(self, spark):
+        docs = spark.createDataFrame(
+            self.CASES, "doc_id: long, text: string, source: string"
+        )
+        vdf = vocab_table(docs)
+        joined = {
+            r.doc_id: (list(r.tokens), r.n_tok, list(r.positions))
+            for r in tokenize_with_vocab_join(docs, vdf, with_positions=True).collect()
+        }
+        vocab = [r.w for r in vdf.orderBy("tok").collect()]
+        vdf.unpersist_source()
+        # broadcast kernel over the same corpus written to a temp sf_dir
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.toPandas().to_parquet(os.path.join(d, "documents.parquet"))
+            direct = {
+                r.doc_id: (list(r.tokens), r.n_tok, list(r.positions))
+                for r in documents_sequences(
+                    spark, d, with_positions=True, vocab=vocab
+                ).collect()
+            }
+        assert joined == direct
+        # spot-check semantics: doc 2 has exactly 4 words, positions dense
+        assert direct[2][1] == 4 and direct[2][2] == [1, 2, 3, 4]
+        assert direct[4] == ([], 0, [])
+        assert direct[5][1] == 3  # "tab\tis", "one", "word"
