@@ -1,6 +1,8 @@
 """Plan-shape pins (explain-level), eps*N bound at the correctness tier,
 and skew/salting behavior (SURVEY.md §5 items 4 and 6)."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -105,3 +107,36 @@ class TestSkew:
         resharded = salted.repartition(16, "__salted_key").drop("__salted_key")
         again, _ = build_motif_cms(resharded, cfg)
         assert base == again
+
+
+class TestBoundChecksPartitionInvariant:
+    """The driver's CORRECTNESS gate runs in ITS session (unknown
+    parallelism); the quantile bound-check queries must hold under any
+    partitioning — KLL/t-digest VALUES legitimately vary with the merge
+    tree, the rank-error invariant must not."""
+
+    SF01 = "/root/testdata/sf0.01"
+
+    @pytest.mark.skipif(not os.path.exists(SF01), reason="sf0.01 testdata absent")
+    @pytest.mark.parametrize("parts", [2, 16])
+    def test_kll_tdigest_bounds_hold(self, spark, parts):
+        from epichypersketch_jl_spark.entrypoints import (
+            KLL_EPS,
+            TDIGEST_EPS,
+            _rank_bound_check,
+        )
+        from epichypersketch_jl_spark.operators.quantiles import (
+            kll_quantiles,
+            tdigest_quantiles,
+        )
+        from epichypersketch_jl_spark.sources.tables import read_table, tokenized_sequences
+
+        seq = tokenized_sequences(spark, self.SF01).repartition(parts)
+        qs = kll_quantiles(seq, "n_tok", [0.1, 0.5, 0.9, 0.99], k=256, seed=42)
+        got = _rank_bound_check(spark, seq, "n_tok", qs, KLL_EPS).collect()
+        assert all(r.rank_error_ok for r in got)
+
+        ev = read_table(spark, self.SF01, "events").repartition(parts)
+        qt = tdigest_quantiles(ev, "value", [0.01, 0.5, 0.99], compression=200.0)
+        got = _rank_bound_check(spark, ev, "value", qt, TDIGEST_EPS).collect()
+        assert all(r.rank_error_ok for r in got)
