@@ -64,7 +64,9 @@ def build(docs: int):
         .select("doc_id", "text")
     )
     data = os.path.join(REPO, ".cache", f"pipeline_docs_{docs}.parquet")
-    if not os.path.exists(data):
+    # gate on the commit marker, not bare existence: a killed run leaves a
+    # truncated directory that would silently skew every number
+    if not os.path.exists(os.path.join(data, "_SUCCESS")):
         base.repartition(128).write.mode("overwrite").parquet(data)
     df = spark.read.parquet(data)
     planted = len(range(1, docs, 100))  # dids 1, 101, 201, ... < docs

@@ -251,10 +251,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH precision check, oracle-able despite recall < 1: every
     LSH-emitted pair is exact-Jaccard verified, so the result must be a
-    subset of the exhaustive inverted-index pairs (n_lsh_pairs_not_in_exact
+    subset of the inverted-index reference pairs (n_lsh_pairs_not_in_exact
     = 0), and with 25 true near-dup pairs in the corpus the banding must
-    surface at least one (found_any).  The raw pair list itself stays
-    covered by tests/test_pipeline_ops.py's subset/recall assertions."""
+    surface at least one (found_any).  The reference companion uses the
+    same stop-shingle cap as dedup_ngram_jaccard — the uncapped index is
+    the quadratic blow-up its own docstring warns about, and a >= 50%-
+    jaccard pair whose every shared shingle is boilerplate-hot does not
+    exist at sane caps.  The raw pair list itself stays covered by
+    tests/test_pipeline_ops.py's subset/recall assertions."""
     from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents").repartition(
@@ -262,7 +266,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T).persist()
     exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=JACCARD_T, max_shingle_df=None
+        docs, n=3, threshold=JACCARD_T, max_shingle_df=SHINGLE_DF_CAP
     ).select("doc_a", "doc_b")
     try:
         n_bad = lsh.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"], "left_anti").count()
@@ -472,7 +476,9 @@ def _rank_bound_check(
     from .errors import InputError
 
     items = sorted(qs.items())
-    aggs = [F.count("*").alias("n")]
+    # count(col), not count(*): NULLs are excluded from the sketch and from
+    # the lo/hi comparisons, so they must be excluded from n as well
+    aggs = [F.count(F.col(col)).alias("n")]
     for i, (_q, v) in enumerate(items):
         aggs.append(F.sum((F.col(col) < v).cast("long")).alias(f"lo{i}"))  # rank(v-)
         aggs.append(F.sum((F.col(col) <= v).cast("long")).alias(f"hi{i}"))  # rank(v+)

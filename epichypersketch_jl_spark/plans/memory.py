@@ -64,13 +64,13 @@ def observed_typical_len(df, cfg: HyperSketchConfig) -> int:
     return int(row.p90 or cfg.motif_size)
 
 
-def planned_config(df, cfg: HyperSketchConfig, conv: bool) -> HyperSketchConfig:
-    """Resolve cfg.max_cells from the memory planner when the caller set a
-    memory budget; identity otherwise.  This is the pipeline wiring of
-    plan_memory — results are unchanged by construction (max_cells only
-    chunks work), verified by tests/test_memory_plan.py."""
+def resolve_plan(df, cfg: HyperSketchConfig, conv: bool):
+    """The single budget-resolution point: (resolved_cfg, plan | None).
+    Resolves cfg.max_cells from the memory planner when the caller set a
+    memory budget (clearing the budget so it runs exactly once per job) and
+    returns the plan for callers that also need arrow_batch_rows."""
     if cfg.memory_budget_bytes is None:
-        return cfg
+        return cfg, None
     import dataclasses
 
     plan = plan_memory(
@@ -79,7 +79,17 @@ def planned_config(df, cfg: HyperSketchConfig, conv: bool) -> HyperSketchConfig:
         budget_bytes=cfg.memory_budget_bytes,
         conv=conv,
     )
-    return dataclasses.replace(cfg, max_cells=plan.max_cells, memory_budget_bytes=None)
+    resolved = dataclasses.replace(
+        cfg, max_cells=plan.max_cells, memory_budget_bytes=None
+    )
+    return resolved, plan
+
+
+def planned_config(df, cfg: HyperSketchConfig, conv: bool) -> HyperSketchConfig:
+    """Pipeline wiring of plan_memory — results are unchanged by
+    construction (max_cells only chunks work), verified by
+    tests/test_memory_plan.py."""
+    return resolve_plan(df, cfg, conv)[0]
 
 
 def plan_memory(

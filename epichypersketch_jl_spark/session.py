@@ -51,12 +51,16 @@ def session_builder(
 
 def get_session(app_name: str = "epichypersketch", **kw) -> SparkSession:
     """Create (or get) a session with the recommended configuration; when
-    shuffle_partitions was not given, size it to 2x the default parallelism
-    — AQE only coalesces DOWN, so the 200 default silently caps wide-stage
-    parallelism on big clusters."""
+    shuffle_partitions was not given AND the session still carries Spark's
+    stock 200 default, size it to 2x the default parallelism — AQE only
+    coalesces DOWN, so the 200 default silently caps wide-stage parallelism
+    on big clusters.  A value the user set anywhere (builder kwarg,
+    spark-submit --conf, pre-existing session) is left untouched; a
+    deliberate 200 is indistinguishable from the default and will be
+    resized — set it through the kwarg to pin it."""
     explicit = kw.get("shuffle_partitions") is not None
     spark = session_builder(app_name, **kw).getOrCreate()
-    if not explicit:
+    if not explicit and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(2 * spark.sparkContext.defaultParallelism),

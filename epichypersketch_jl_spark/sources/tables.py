@@ -346,9 +346,12 @@ def _cache_root() -> str:
     )
 
 
-def _dataset_fingerprint(sf_dir: str) -> str:
+def _dataset_fingerprint(sf_dir: str) -> str | None:
     """Slug that changes when the documents table changes (mtime + size),
-    so a regenerated sf_dir never hits a stale cache."""
+    so a regenerated sf_dir never hits a stale cache.  None when the
+    documents table is not locally stattable (remote URI such as s3a/hdfs):
+    a constant fingerprint would serve stale tokens forever after a remote
+    rewrite, so such inputs must bypass the cache instead."""
     path = os.path.join(sf_dir, "documents.parquet")
     total_size = 0
     latest = 0
@@ -361,12 +364,15 @@ def _dataset_fingerprint(sf_dir: str) -> str:
     elif os.path.exists(path):
         st = os.stat(path)
         total_size, latest = st.st_size, st.st_mtime_ns
+    else:
+        return None
     slug = os.path.realpath(sf_dir).strip("/").replace("/", "_")
     return f"{slug}-{total_size}-{latest}"
 
 
-def tokenized_cache_path(sf_dir: str) -> str:
-    return os.path.join(_cache_root(), _dataset_fingerprint(sf_dir))
+def tokenized_cache_path(sf_dir: str) -> str | None:
+    fp = _dataset_fingerprint(sf_dir)
+    return os.path.join(_cache_root(), fp) if fp is not None else None
 
 
 def _cache_complete(path: str) -> bool:
@@ -392,13 +398,14 @@ def tokenized_sequences(
     (shuffle-join tokenizer, unbounded vocab), or "auto" (count the vocab,
     pick by VOCAB_BROADCAST_MAX).
 
-    Catalog-namespace inputs bypass the cache entirely: their contents
-    cannot be fingerprinted from the filesystem, and serving a stale cache
-    after the catalog table is rewritten would be silent corruption.
+    Inputs whose contents cannot be fingerprinted from the local filesystem
+    — catalog namespaces AND remote URIs (s3a://, hdfs://) — bypass the
+    cache entirely: serving a stale cache after the underlying table is
+    rewritten would be silent corruption.
     """
-    if _is_catalog_namespace(sf_dir):
+    path = tokenized_cache_path(sf_dir) if not _is_catalog_namespace(sf_dir) else None
+    if path is None:
         return documents_sequences(spark, sf_dir, with_positions=with_positions)
-    path = tokenized_cache_path(sf_dir)
     if not _cache_complete(path):
         _build_token_cache(spark, sf_dir, path, strategy)
     out = spark.read.parquet(os.path.join(path, "sequences"))
@@ -410,7 +417,12 @@ def tokenized_sequences(
 
 def read_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (w, tok) codebook backing tokenized_sequences(sf_dir)."""
-    path = tokenized_cache_path(sf_dir)
+    path = tokenized_cache_path(sf_dir) if not _is_catalog_namespace(sf_dir) else None
+    if path is None:
+        raise InputError(
+            f"no cacheable codebook for {sf_dir!r} (catalog/remote input); "
+            "build one with vocab_table(documents) directly"
+        )
     if not _cache_complete(path):
         _build_token_cache(spark, sf_dir, path, "auto")
     return spark.read.parquet(os.path.join(path, "vocab"))

@@ -73,28 +73,15 @@ def main() -> None:
         df = df.drop("positions")
 
     if cfg.memory_budget_bytes is not None:
-        # resolve the plan ONCE: set the Arrow batch sizing session-wide and
-        # bake max_cells into cfg (clearing the budget so planned_config
-        # inside the pipeline doesn't re-run the typical-length job twice
-        # more per submit)
-        import dataclasses
+        # resolve the plan ONCE (resolve_plan clears the budget so
+        # planned_config inside the pipeline doesn't re-run the
+        # typical-length job twice more per submit) and apply the Arrow
+        # batch sizing session-wide
+        from epichypersketch_jl_spark.plans.memory import resolve_plan
 
-        from epichypersketch_jl_spark.plans.memory import (
-            observed_typical_len,
-            plan_memory,
-        )
-
-        plan = plan_memory(
-            cfg,
-            typical_len=observed_typical_len(df, cfg),
-            budget_bytes=cfg.memory_budget_bytes,
-            conv=(args.mode == "conv"),
-        )
+        cfg, plan = resolve_plan(df, cfg, conv=(args.mode == "conv"))
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(plan.arrow_batch_rows)
-        )
-        cfg = dataclasses.replace(
-            cfg, max_cells=plan.max_cells, memory_budget_bytes=None
         )
 
     cms, task_metrics = build_motif_cms(
