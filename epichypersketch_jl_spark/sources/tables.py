@@ -182,6 +182,27 @@ def documents_sequences(
     were a correctness hazard), "zero" maps them to the reserved padding
     id 0 (reference convention, src/record.jl:159).
     """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    if vocab is None:
+        vocab = build_vocab(docs)
+    return tokenize_with_broadcast_vocab(
+        docs, vocab, with_positions=with_positions, unknown=unknown
+    )
+
+
+def tokenize_with_broadcast_vocab(
+    docs: DataFrame,
+    vocab: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_positions: bool = False,
+    unknown: str = "error",
+) -> DataFrame:
+    """Broadcast-codebook tokenizer over any (id, text, ...) DataFrame:
+    one Arrow map pass, np.searchsorted against the sorted vocab; every
+    non-text column is carried through unchanged.  Output column order:
+    (id_col, tokens, n_tok[, positions], *carry)."""
     import numpy as np
     import pyarrow as pa
 
@@ -189,27 +210,25 @@ def documents_sequences(
 
     if unknown not in ("error", "zero"):
         raise InputError(f"unknown= must be 'error' or 'zero', got {unknown!r}")
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    if vocab is None:
-        vocab = build_vocab(docs)
     vocab_arr = np.array(vocab)
     n_vocab = len(vocab_arr)
+    carry = [c for c in docs.columns if c not in (id_col, text_col)]
 
     fields = [
-        docs.schema["doc_id"],
+        docs.schema[id_col],
         StructField("tokens", ArrayType(IntegerType(), False), False),
         StructField("n_tok", IntegerType(), False),
-        docs.schema["source"],
     ]
     if with_positions:
-        fields.insert(3, StructField("positions", ArrayType(IntegerType(), False), False))
+        fields.append(StructField("positions", ArrayType(IntegerType(), False), False))
+    fields += [docs.schema[c] for c in carry]
     schema = StructType(fields)
 
     def fn(batches):
         import pyarrow.compute as pc
 
         for batch in batches:
-            words = pc.split_pattern(batch.column("text"), " ")
+            words = pc.split_pattern(batch.column(text_col), " ")
             offsets = words.offsets.to_numpy().astype(np.int64)
             flat = words.values.to_numpy(zero_copy_only=False).astype(str)
             flat = flat[offsets[0] : offsets[-1]]  # align with (possibly sliced) offsets
@@ -246,7 +265,7 @@ def documents_sequences(
             toks = pa.ListArray.from_arrays(pa.array(off32), pa.array(ids))
             lens = np.diff(offsets).astype(np.int32)
             cols = {
-                "doc_id": batch.column("doc_id"),
+                id_col: batch.column(id_col),
                 "tokens": toks,
                 "n_tok": pa.array(lens),
             }
@@ -257,7 +276,8 @@ def documents_sequences(
                     + 1
                 )
                 cols["positions"] = pa.ListArray.from_arrays(pa.array(off32), pa.array(pos_flat))
-            cols["source"] = batch.column("source")
+            for c in carry:
+                cols[c] = batch.column(c)
             yield pa.RecordBatch.from_pydict(cols)
 
     return docs.mapInArrow(fn, schema)

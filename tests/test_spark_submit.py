@@ -102,3 +102,33 @@ class TestSessionHelper:
         assert opts["spark.sql.adaptive.enabled"] == "true"
         assert opts["spark.sql.execution.arrow.maxRecordsPerBatch"] == "4096"
         assert opts["spark.sql.shuffle.partitions"] == "4"
+
+
+class TestTokenizeJob:
+    @pytest.mark.parametrize("strategy", ["broadcast", "join"])
+    def test_tokenize_etl(self, spark, dist_zip, tmp_path, strategy):
+        from epichypersketch_jl_spark.sources.tables import read_table
+
+        inp = str(tmp_path / f"docs_{strategy}")
+        outp = str(tmp_path / f"seq_{strategy}")
+        vout = str(tmp_path / f"vocab_{strategy}")
+        read_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(inp)
+        r = _spark_submit(
+            dist_zip,
+            "tokenize_corpus.py",
+            "--input", inp, "--output", outp, "--vocab-output", vout,
+            "--strategy", strategy, "--positions",
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        seq = spark.read.parquet(outp)
+        # computed columns lead; every non-text input column is carried
+        assert seq.columns[:4] == ["doc_id", "tokens", "n_tok", "positions"]
+        assert "source" in seq.columns and "text" not in seq.columns
+        from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+        direct = documents_sequences(spark, "/root/testdata/sf0.001", with_positions=True)
+        a = {r.doc_id: (list(r.tokens), list(r.positions)) for r in seq.collect()}
+        b = {r.doc_id: (list(r.tokens), list(r.positions)) for r in direct.collect()}
+        assert a == b
+        vocab = spark.read.parquet(vout)
+        assert vocab.count() == vocab.select("tok").distinct().count()
