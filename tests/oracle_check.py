@@ -42,8 +42,8 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(os.environ.get("ORACLE_MASTER", "local[8]"))
+        .config("spark.sql.shuffle.partitions", os.environ.get("ORACLE_SHUFFLE", "8"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
