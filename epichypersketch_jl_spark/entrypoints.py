@@ -132,15 +132,18 @@ def q_motifs_k2_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is re-run against the same checkpoint dir — the resume path must skip
     every completed bucket and reload blobs to a byte-identical sketch.
     The extraction then runs off the resumed sketch and must hash-match
-    motifs_k2_summary's oracle."""
-    import shutil
-    import tempfile
-
+    motifs_k2_summary's oracle.  Both builds run EAGERLY at construction
+    time by design — proving resume requires the first build's blobs to
+    exist before the second starts.  Checkpoint location comes from
+    `spark.epichypersketch.checkpointDir` (set it to a shared filesystem
+    on a real cluster); the fallback is a driver-local tempdir, valid only
+    in local mode."""
     from .operators.motif import build_motif_cms
+    from .operators.sketch_build import delete_dir, resolve_checkpoint_dir
 
     seq = _seq(spark, sf_dir)
     cfg = HyperSketchConfig(motif_size=2, min_count=K2_MIN, seed=42)
-    ckpt = tempfile.mkdtemp(prefix="ehs_ckpt_q_")
+    ckpt = resolve_checkpoint_dir(spark, "ehs_ckpt_q_")
     try:
         cms1, _ = build_motif_cms(seq, cfg, checkpoint_dir=ckpt, n_buckets=16)
         cms2, metrics = build_motif_cms(seq, cfg, checkpoint_dir=ckpt, n_buckets=16)
@@ -150,7 +153,7 @@ def q_motifs_k2_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"expected 16 bucket blobs, got {len(metrics)}")
         return motif_counts(seq, cfg, cms=cms2)
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        delete_dir(spark, ckpt)
 
 
 def q_motifs_k2_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,24 +254,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH precision check, oracle-able despite recall < 1: every
     LSH-emitted pair is exact-Jaccard verified, so the result must be a
-    subset of the inverted-index reference pairs (n_lsh_pairs_not_in_exact
-    = 0), and with 25 true near-dup pairs in the corpus the banding must
-    surface at least one (found_any).  The reference companion uses the
-    same stop-shingle cap as dedup_ngram_jaccard — the uncapped index is
-    the quadratic blow-up its own docstring warns about, and a >= 50%-
-    jaccard pair whose every shared shingle is boilerplate-hot does not
-    exist at sane caps.  The raw pair list itself stays covered by
-    tests/test_pipeline_ops.py's subset/recall assertions."""
+    subset of the true exact-Jaccard pair set (n_lsh_pairs_not_in_exact =
+    0), and with 25 true near-dup pairs in the corpus the banding must
+    surface at least one (found_any).  The reference companion is the
+    UNCAPPED exact index restricted to docs that appear in an LSH pair —
+    Jaccard is pairwise, so restricting the corpus to those docs changes
+    nothing about their pairwise values, and the restricted set is tiny
+    (candidate count, not corpus size), so the exhaustive index is cheap.
+    A capped reference would NOT be an invariant: LSH signatures cover ALL
+    shingles, so a legitimately-emitted pair whose shared shingles are all
+    hot would be absent from a capped reference.  The raw pair list itself
+    stays covered by tests/test_pipeline_ops.py's subset/recall
+    assertions."""
     from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     lsh = minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=JACCARD_T).persist()
-    exact = ngram_jaccard_pairs(
-        docs, n=3, threshold=JACCARD_T, max_shingle_df=SHINGLE_DF_CAP
-    ).select("doc_a", "doc_b")
     try:
+        pair_ids = (
+            lsh.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(lsh.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        cand_docs = docs.join(F.broadcast(pair_ids), "doc_id")
+        exact = ngram_jaccard_pairs(
+            cand_docs, n=3, threshold=JACCARD_T, max_shingle_df=None
+        ).select("doc_a", "doc_b")
         n_bad = lsh.select("doc_a", "doc_b").join(exact, ["doc_a", "doc_b"], "left_anti").count()
         n_found = lsh.count()
     finally:

@@ -89,6 +89,12 @@ def build_batch(
     k = cfg.motif_size
     lengths = np.diff(offsets)
     conv = positions_flat is not None
+    if conv and len(positions_flat) != len(tokens_flat):
+        raise ValueError(
+            f"positions/tokens misaligned: {len(positions_flat)} position "
+            f"values vs {len(tokens_flat)} tokens — the parallel list "
+            "columns must have identical per-row lengths"
+        )
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
@@ -171,6 +177,12 @@ def aggregate_batch(
     k = cfg.motif_size
     lengths = np.diff(offsets)
     conv = positions_flat is not None
+    if conv and len(positions_flat) != len(tokens_flat):
+        raise ValueError(
+            f"positions/tokens misaligned: {len(positions_flat)} position "
+            f"values vs {len(tokens_flat)} tokens — the parallel list "
+            "columns must have identical per-row lengths"
+        )
     acc_k, acc_o, acc_c = [], [], []
 
     def process(flat_keys: np.ndarray, contrib: np.ndarray | None) -> None:
@@ -272,6 +284,12 @@ def extract_batch(
     k = cfg.motif_size
     lengths = np.diff(offsets)
     conv = positions_flat is not None
+    if conv and len(positions_flat) != len(tokens_flat):
+        raise ValueError(
+            f"positions/tokens misaligned: {len(positions_flat)} position "
+            f"values vs {len(tokens_flat)} tokens — the parallel list "
+            "columns must have identical per-row lengths"
+        )
     out = ExtractOut()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)

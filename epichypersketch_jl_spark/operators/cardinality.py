@@ -57,17 +57,29 @@ def _grouped_blobs(
                 sk = local.setdefault("__all__", zero_fn())
                 update_fn(sk, flat)
             else:
-                groups = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
-                for g in np.unique(groups):
-                    rows = np.flatnonzero(groups == g)
-                    if is_list:
-                        vals = np.concatenate(
-                            [flat[offsets[i] : offsets[i + 1]] for i in rows]
-                        ) if rows.size else flat[:0]
-                    else:
-                        vals = flat[rows]
-                    sk = local.setdefault(str(g), zero_fn())
-                    update_fn(sk, vals)
+                # vectorized grouping: dictionary-encode the group column,
+                # repeat codes to value level, one stable argsort, then each
+                # group's values are a contiguous slice — no per-row Python,
+                # O(V log V) regardless of group cardinality.
+                import pyarrow.compute as pc
+
+                gcol = pc.fill_null(batch.column(group_col).cast(pa.string()), "None")
+                denc = gcol.dictionary_encode()
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                names = denc.dictionary.to_pylist()
+                if is_list:
+                    vcodes = np.repeat(codes, np.diff(offsets))
+                else:
+                    vcodes = codes
+                vorder = np.argsort(vcodes, kind="stable")
+                vals_sorted = flat[vorder]
+                counts = np.bincount(vcodes, minlength=len(names))
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                for gi, name in enumerate(names):
+                    if counts[gi] == 0:
+                        continue
+                    sk = local.setdefault(str(name), zero_fn())
+                    update_fn(sk, vals_sorted[bounds[gi] : bounds[gi + 1]])
         for g, sk in local.items():
             yield pa.RecordBatch.from_pydict(
                 {"group": [g], "sketch": [sk.to_bytes()]}, schema=_BLOB_ARROW

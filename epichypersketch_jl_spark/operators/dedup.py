@@ -75,6 +75,11 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", sh)
 
 
+# Recommended stop-shingle cap for web-scale call sites (entrypoints / jobs
+# pass it explicitly).  NOT the library default: the function below is
+# documented as *exact*, and a silent cap breaks exactness for docs whose
+# every shingle is hot (a doc mass-duplicated >cap times has ALL its
+# shingles above the cap and would emit zero pairs even at jaccard=1.0).
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
@@ -85,7 +90,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index join (doc_a < doc_b).
 
@@ -93,16 +98,19 @@ def ngram_jaccard_pairs(
     Jaccard is over DISTINCT shingles.  jaccard_pct = floor(100 * j) keeps
     the output integer-exact for oracle hashing.
 
-    Two-stage plan: CANDIDATE pairs come from an inverted index with hot
-    shingles (document frequency > max_shingle_df) removed — without the
-    cap, one boilerplate shingle shared by 1M docs would alone produce
-    ~10^12 join rows, the classic quadratic blow-up of exact dedup at web
-    scale.  Jaccard itself is then computed on the FULL distinct-shingle
-    sets of each candidate pair, so emitted values are exact; the only
-    approximation is that a pair sharing *nothing but* capped shingles is
-    never considered (such a pair is boilerplate-only overlap, far below
-    any useful threshold when the cap is sane).  Pass max_shingle_df=None
-    for the exhaustive index (small corpora / oracle references).
+    Two-stage plan: CANDIDATE pairs come from an inverted index; when
+    max_shingle_df is set, hot shingles (document frequency >
+    max_shingle_df) are removed from the index — without a cap, one
+    boilerplate shingle shared by 1M docs would alone produce ~10^12 join
+    rows, the classic quadratic blow-up of exact dedup at web scale.
+    Jaccard itself is then computed on the FULL distinct-shingle sets of
+    each candidate pair, so emitted values are exact; the only
+    approximation a cap introduces is that a pair sharing *nothing but*
+    capped shingles is never considered.  That includes docs duplicated
+    more than max_shingle_df times (ALL their shingles are hot), so capped
+    call sites should route exact duplicates through exact_dedup first.
+    The default is None (exhaustive, truly exact); web-scale call sites
+    pass DEFAULT_MAX_SHINGLE_DF explicitly.
     """
     shing = word_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col), F.array_distinct("shingles").alias("sh")
@@ -415,3 +423,113 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     return cand
+
+
+# ------------------------------------------------- cluster resolution
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve a pair list (the output of ngram_jaccard_pairs /
+    minhash_lsh_pairs / simhash_near_pairs) into connected components:
+    (doc_id, component) where `component` is the SMALLEST doc id reachable
+    from doc_id.  Only ids that appear in at least one pair are emitted —
+    singletons are trivially their own component and joining them back is
+    the caller's (cheap) business.
+
+    Algorithm: min-label propagation with POINTER JUMPING.  Each round
+    every vertex takes (a) the min label among its neighbors (one
+    edges-to-labels shuffle join) and (b) its label's label (one
+    labels-to-labels self-join) — step (b) is union-find path-halving in
+    dataframe form, so label chains collapse geometrically and the loop
+    converges in O(log diameter) rounds rather than O(diameter).  Labels
+    only ever decrease and are bounded below by the component min, which
+    is a fixpoint, so termination is guaranteed; the early-exit check is
+    a cheap changed-row probe.  Each round's labels are persisted and the
+    previous round's unpersisted — the per-round shuffle is proportional
+    to |E|, never |V|^2.  Duplicate-cluster graphs have tiny diameters,
+    so in practice this is 2-4 rounds.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("v"))
+        .distinct()
+        .withColumn("c", F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = edges.join(labels.withColumnRenamed("v", "u"), "u").select("v", "c")
+        cand = labels.unionByName(nbr).groupBy("v").agg(F.min("c").alias("c"))
+        # pointer jump: c(v) <- min(c(v), c(c(v))); every label value is a
+        # vertex id (labels start as ids and only copy other labels), so
+        # the self-join below always resolves
+        a, b = cand.alias("a"), cand.alias("b")
+        jumped = (
+            a.join(b, F.col("a.c") == F.col("b.v"), "left")
+            .select(
+                F.col("a.v").alias("v"),
+                F.least(F.col("a.c"), F.coalesce(F.col("b.c"), F.col("a.c"))).alias("c"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("c", "c_old"), "v")
+            .filter(F.col("c") != F.col("c_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(F.col("v").alias("doc_id"), F.col("c").alias("component"))
+    return out
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Full near-duplicate resolution: pair list -> connected components ->
+    keeper election.  Returns one row per INPUT doc: (doc_id, cluster_id,
+    cluster_size, is_keeper) — `cluster_id` is the smallest doc id in the
+    doc's duplicate cluster (its own id for singletons), the keeper is that
+    smallest id (the same deterministic election exact_dedup uses), and
+    dropping rows with is_keeper = false IS the dedup pass.
+
+    This is the piece pair-emitting dedup leaves to the user: transitive
+    closure (A~B, B~C => {A,B,C} one cluster even if A,C were never
+    directly compared) plus a deterministic survivor per cluster.
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    labeled = base.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

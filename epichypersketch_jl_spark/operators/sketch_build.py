@@ -138,6 +138,33 @@ def build_sketch_distributed(
     return from_bytes(merged_bytes), metrics
 
 
+def resolve_checkpoint_dir(spark, prefix: str) -> str:
+    """Resolve a fresh checkpoint directory for build_sketch_checkpointed.
+
+    Uses `spark.epichypersketch.checkpointDir` when set (REQUIRED on a real
+    cluster: executors write bucket blobs with spark parquet writes, so the
+    path must be on a filesystem every executor AND the driver can see —
+    HDFS/S3/NFS).  Falls back to a driver-local tempdir, which is correct
+    only in local mode where driver and "executors" share one machine.
+    """
+    import tempfile
+    import uuid
+
+    base = spark.conf.get("spark.epichypersketch.checkpointDir", None)
+    if base:
+        return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def delete_dir(spark, path: str) -> None:
+    """Recursively delete `path` through the Hadoop FileSystem API, so it
+    works for both local dirs and shared-filesystem checkpoint dirs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def build_sketch_checkpointed(
     df: DataFrame,
     zero_fn: Callable[[], MergeableSketch],

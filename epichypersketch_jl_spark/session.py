@@ -51,15 +51,17 @@ def session_builder(
 
 def get_session(app_name: str = "epichypersketch", **kw) -> SparkSession:
     """Create (or get) a session with the recommended configuration; when
-    shuffle_partitions was not given AND the session still carries Spark's
-    stock 200 default, size it to 2x the default parallelism — AQE only
-    coalesces DOWN, so the 200 default silently caps wide-stage parallelism
-    on big clusters.  A value the user set anywhere (builder kwarg,
-    spark-submit --conf, pre-existing session) is left untouched; a
-    deliberate 200 is indistinguishable from the default and will be
-    resized — set it through the kwarg to pin it."""
+    shuffle_partitions was not given AND the key was not explicitly set
+    anywhere (spark-submit --conf, spark-defaults.conf, a pre-existing
+    session's builder), size it to 2x the default parallelism — AQE only
+    coalesces DOWN, so the 200 stock default silently caps wide-stage
+    parallelism on big clusters.  Explicitness is checked via the
+    SparkConf key itself (not by comparing against 200), so a deliberate
+    `--conf spark.sql.shuffle.partitions=200` is honored."""
     explicit = kw.get("shuffle_partitions") is not None
     spark = session_builder(app_name, **kw).getOrCreate()
+    if not explicit:
+        explicit = spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions")
     if not explicit and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",

@@ -130,13 +130,19 @@ class KLL(MergeableSketch):
     @classmethod
     def _from_payload(cls, payload: bytes) -> "KLL":
         hsz = struct.calcsize(cls._HDR)
+        if len(payload) < hsz:
+            raise ValueError("corrupt KLL payload")
         k, seed, n, n_levels = struct.unpack(cls._HDR, payload[:hsz])
+        if n_levels < 0 or n < 0 or k <= 0:
+            raise ValueError("corrupt KLL payload")
         comps = []
         off = hsz
         for _ in range(n_levels):
+            if off + 8 > len(payload):
+                raise ValueError("corrupt KLL payload")
             (m,) = struct.unpack("<q", payload[off : off + 8])
             off += 8
-            if off + 8 * m > len(payload):
+            if m < 0 or off + 8 * m > len(payload):
                 raise ValueError("corrupt KLL payload")
             comps.append(np.frombuffer(payload, dtype=np.float64, count=m, offset=off))
             off += 8 * m

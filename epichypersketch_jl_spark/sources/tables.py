@@ -454,7 +454,12 @@ def _build_token_cache(spark: SparkSession, sf_dir: str, path: str, strategy: st
     os.makedirs(_cache_root(), exist_ok=True)
     vdf = vocab_table(docs)
     try:
-        vdf.repartition(1).write.mode("overwrite").parquet(os.path.join(tmp, "vocab"))
+        # write with vocab_table's native range-partitioning (one file per
+        # range of w) — a repartition(1) funnel would make a single writer
+        # task the straggler/OOM point for a web-scale (10^8+ row) vocab.
+        # Readers don't need one file: the broadcast path orderBy("tok")s
+        # on read and the join tokenizer is order-agnostic.
+        vdf.write.mode("overwrite").parquet(os.path.join(tmp, "vocab"))
     finally:
         vdf.unpersist_source()
     vocab_pq = spark.read.parquet(os.path.join(tmp, "vocab"))

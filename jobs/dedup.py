@@ -23,6 +23,14 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--num-perm", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument(
+        "--max-shingle-df",
+        type=int,
+        default=None,
+        help="jaccard: stop-shingle DF cap for the candidate index "
+        "(0/None = exhaustive; at web scale pass ~1000 and route exact "
+        "duplicates through --method exact first)",
+    )
     ap.add_argument("--max-hamming", type=int, default=3)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -38,6 +46,7 @@ def main() -> None:
         out = D.ngram_jaccard_pairs(
             df, text_col=args.text_col, id_col=args.id_col, n=args.ngram,
             threshold=args.threshold,
+            max_shingle_df=args.max_shingle_df or None,
         )
     elif args.method == "minhash":
         out = D.minhash_lsh_pairs(
