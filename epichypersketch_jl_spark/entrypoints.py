@@ -14,6 +14,9 @@ words), keeping the token-array-equality invariant between engine and oracle.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +85,7 @@ ptoks AS (SELECT doc_id, tok, pos FROM pwords JOIN vocab USING (w))
 
 K2_MIN = 2200
 K3_MIN = 4000
+K4_MIN = 13000
 CONV_MIN = 6
 HEAVY_MIN = 500
 CONV_FILTER_LEN = 1
@@ -103,6 +107,18 @@ def q_motifs_k2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_motifs_k3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _seq(spark, sf_dir)
     cfg = HyperSketchConfig(motif_size=3, min_count=K3_MIN, seed=42)
+    return motif_counts(seq, cfg)
+
+
+def q_motifs_k4_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order motifs, driver-visible (the reference ships k=4/5 as
+    tests, test/test_higher_order_motifs.jl — here the k=4 tier gets a full
+    exact oracle too).  epsilon is tightened to 5e-6: sf0.01 has ~46k
+    distinct 4-motif keys, and parity (estimate == exact count) needs the
+    CMS width (ceil(e/eps) ~ 544k) to dwarf the key count so that no key
+    collides on all d rows."""
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=4, min_count=K4_MIN, seed=42, epsilon=5e-6)
     return motif_counts(seq, cfg)
 
 
@@ -184,6 +200,59 @@ def q_motifs_k2_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_counts(seq, cfg)
 
 
+def q_cms_cu_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative update in the COLLISION regime — the case where CU
+    actually differs from plain CMS.  Two sketches are built over the same
+    k=2 motif stream with a deliberately tiny table (d=3, width=55, far
+    below the ~465 distinct keys, so every row is collision-saturated),
+    then every distinct key is point-queried against both and checked
+    against an exact distributed recount:
+
+      n_cu_below_true  = 0   (CU never undercounts — the safety invariant)
+      n_cu_above_plain = 0   (CU estimate <= plain estimate, per key)
+      cu_strictly_tighter    (CU < plain for at least one key — proof the
+                              collision regime is actually engaged; both
+                              sketches are seed-deterministic, so this is a
+                              stable fact of the data, not a coin flip)
+
+    n_keys is the exact distinct-key count, recomputable in SQL."""
+    import numpy as np
+
+    from .operators.motif import build_motif_cms
+
+    seq = _seq(spark, sf_dir)
+    tiny = dict(motif_size=2, min_count=1, seed=42, delta=0.05, epsilon=0.05)
+    cms_plain, _ = build_motif_cms(seq, HyperSketchConfig(**tiny))
+    cms_cu, _ = build_motif_cms(seq, HyperSketchConfig(**tiny, conservative=True))
+
+    toks = seq.select(
+        "doc_id", F.posexplode(F.sort_array("tokens")).alias("idx", "tok")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    true_rows = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.idx") < F.col("b.idx")))
+        .groupBy(F.col("a.tok").alias("m1"), F.col("b.tok").alias("m2"))
+        .count()
+        .collect()  # bounded by C(vocab, 2) — a key set, not row data
+    )
+    keys = np.array([[r.m1, r.m2] for r in true_rows], dtype=np.int64)
+    true = np.array([r["count"] for r in true_rows], dtype=np.int64)
+    est_plain = cms_plain.estimate(keys)
+    est_cu = cms_cu.estimate(keys)
+    return spark.createDataFrame(
+        [
+            (
+                len(true_rows),
+                int((est_cu < true).sum()),
+                int((est_cu > est_plain).sum()),
+                bool((est_cu < est_plain).any()),
+            )
+        ],
+        schema="n_keys: long, n_cu_below_true: long, n_cu_above_plain: long, "
+        "cu_strictly_tighter: boolean",
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event counts (the batch shape of the streaming agg)."""
     ev = read_table(spark, sf_dir, "events")
@@ -212,6 +281,78 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+SESSION_GAP = "6 hours"  # mirrored as 21_600_000 ms in the oracle SQL
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful STREAMING operator (applyInPandasWithState
+    sessionization, streaming/stateful.py), driven end-to-end through a real
+    availableNow streaming run over the events parquet and checked against
+    an exact DuckDB gap-sessionization oracle (lag + cumulative-sum).
+
+    Only gap-closed sessions are emitted and compared: a session is closed
+    by a LATER EVENT arriving past the gap, which is batch-boundary- and
+    watermark-invariant (state carries across batches; the closing event
+    closes it wherever it lands).  Each key's final, still-open session is
+    never gap-closed, so the oracle drops each user's last session.
+    Timestamps are compared at the operator's granularity (epoch ms)."""
+    import tempfile
+
+    from .streaming.stateful import sessionize
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(ev_path)
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP, and the
+    # NTZ -> TIMESTAMP cast goes through the session timezone — pin it to
+    # UTC for the duration so epoch-ms values match DuckDB's epoch_ms()
+    # (which reads NTZ wall time as UTC), then restore the user's setting.
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        # the file stream source requires a DIRECTORY base path; when events
+        # is a single parquet file, stream its parent dir with a glob filter
+        reader = spark.readStream.schema(batch.schema).format("parquet")
+        if os.path.isdir(ev_path):
+            raw = reader.load(ev_path)
+        else:
+            raw = reader.option("pathGlobFilter", os.path.basename(ev_path)).load(
+                os.path.dirname(ev_path)
+            )
+        stream = raw.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        sess = sessionize(stream, gap=SESSION_GAP, watermark="1 hour")
+        name = f"ehs_sessions_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory(prefix="ehs_sess_ckpt_") as ckpt:
+            q = (
+                sess.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.table(name)
+            .filter(F.col("closed_by") == "gap")
+            .select(
+                "user_id",
+                F.unix_millis("session_start").alias("session_start_ms"),
+                F.unix_millis("session_end").alias("session_end_ms"),
+                "n_events",
+                F.round(F.col("total_value") * 100).cast("long").alias("total_value_x100"),
+            )
+            .orderBy("user_id", "session_start_ms")
+        )
+        # materialize before the memory-sink table goes out of scope
+        rows = out.collect()
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def q_ntok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +477,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_viol, n_missed)],
         schema="n_hamming_violations: long, n_missed_close_pairs: long",
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER resolution — the step pair-emitting dedup
+    leaves to the user: exact Jaccard pairs -> connected components
+    (min-label propagation with pointer jumping, operators/dedup.py) ->
+    keeper election.  One row per document: (doc_id, cluster_id,
+    cluster_size, is_keeper); dropping is_keeper = false rows IS the dedup
+    pass.  Transitivity matters: A~B and B~C land A, B, C in one cluster
+    even when A and C were never directly compared.  Exactly oracle-able —
+    DuckDB computes the same transitive closure with a recursive CTE."""
+    from .operators.dedup import ngram_jaccard_pairs, resolve_duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T, max_shingle_df=None)
+    return resolve_duplicate_clusters(docs, pairs).orderBy("doc_id")
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,18 +719,22 @@ QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
     "motifs_k3_summary": q_motifs_k3_summary,
+    "motifs_k4_summary": q_motifs_k4_summary,
     "conv_motifs_k2": q_conv_motifs_k2,
     "heavy_tokens": q_heavy_tokens,
     "ntok_stats": q_ntok_stats,
     "motifs_k2_conservative": q_motifs_k2_conservative,
+    "cms_cu_collision": q_cms_cu_collision,
     "motifs_k2_checkpointed": q_motifs_k2_checkpointed,
     "motifs_k2_weighted": q_motifs_k2_weighted,
     "events_hourly": q_events_hourly,
     "events_user_stats": q_events_user_stats,
+    "events_sessionized": q_events_sessionized,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -631,6 +792,20 @@ cnt AS (SELECT m1, m2, m3, count(*) AS c FROM trips GROUP BY m1, m2, m3)
 SELECT m1, m2, m3, c AS count, c AS n_occurrences,
        CAST(3.0 * c AS DOUBLE) AS total_contribution
 FROM cnt WHERE c >= {K3_MIN}
+""",
+    "motifs_k4_summary": f"""
+WITH {_TOK_CTE},
+quads AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2, c.tok AS m3, d.tok AS m4
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+  JOIN toks c ON b.doc_id = c.doc_id AND b.idx < c.idx
+  JOIN toks d ON c.doc_id = d.doc_id AND c.idx < d.idx
+),
+cnt AS (SELECT m1, m2, m3, m4, count(*) AS c FROM quads GROUP BY m1, m2, m3, m4)
+SELECT m1, m2, m3, m4, c AS count, c AS n_occurrences,
+       CAST(4.0 * c AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {K4_MIN}
 """,
     "conv_motifs_k2": f"""
 WITH {_POS_CTE},
@@ -696,6 +871,23 @@ SELECT m1, m2, c AS count, c AS n_occurrences,
        CAST(2.0 * c AS DOUBLE) AS total_contribution
 FROM cnt WHERE c >= {K2_MIN}
 """,
+    # invariant oracle: the zero-violation counters and the strict-tightening
+    # flag are CU's defining properties (never undercount; never exceed the
+    # plain estimate; strictly tighter somewhere once collisions saturate a
+    # width-55 table) — deterministic for the fixed seed.  n_keys is the
+    # exact distinct-key count, recomputed here.
+    "cms_cu_collision": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT DISTINCT a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(0 AS BIGINT) AS n_cu_below_true,
+       CAST(0 AS BIGINT) AS n_cu_above_plain,
+       TRUE AS cu_strictly_tighter
+FROM pairs
+""",
     "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*) AS n_events,
@@ -707,6 +899,36 @@ SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS total_value_x100
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    # gap sessionization: lag + cumulative-sum session ids at the operator's
+    # ms granularity; each user's LAST session is never gap-closed by a
+    # later event, so the streaming query never emits it — drop it here too.
+    "events_sessionized": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
+l AS (
+  SELECT user_id, tms, value,
+         CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+                OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                   > 21600000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, tms, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+),
+a AS (
+  SELECT user_id, sid, min(tms) AS session_start_ms, max(tms) AS session_end_ms,
+         count(*) AS n_events,
+         CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS total_value_x100
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start_ms, session_end_ms, n_events, total_value_x100
+FROM a
+WHERE sid < (SELECT max(sid) FROM a b WHERE b.user_id = a.user_id)
+ORDER BY user_id, session_start_ms
 """,
     "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
@@ -743,6 +965,55 @@ JOIN cand USING (doc_a, doc_b)
 JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common)) >= {int(JACCARD_T * 100)}
+""",
+    # transitive closure via recursive CTE: reach(v, c) = vertex c is
+    # reachable from v over the (undirected) near-dup pair graph; the
+    # component label is min(reachable), exactly what the engine's
+    # pointer-jumping min-label propagation converges to.
+    "dedup_clusters": f"""
+WITH RECURSIVE
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+    FROM ws WHERE len(w) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE FLOOR(100.0 * c.n_common / (sa.n + sb.n - c.n_common))
+        >= {int(JACCARD_T * 100)}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, c) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.v, e.v FROM reach r JOIN edges e ON r.c = e.u
+),
+comp AS (SELECT v AS doc_id, min(c) AS cluster_id FROM reach GROUP BY v),
+lab AS (
+  SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp USING (doc_id)
+),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+       lab.doc_id = lab.cluster_id AS is_keeper
+FROM lab JOIN sz USING (cluster_id)
+ORDER BY lab.doc_id
 """,
     "token_stats": """
 SELECT doc_id,

@@ -450,8 +450,11 @@ def connected_components(
     converges in O(log diameter) rounds rather than O(diameter).  Labels
     only ever decrease and are bounded below by the component min, which
     is a fixpoint, so termination is guaranteed; the early-exit check is
-    a cheap changed-row probe.  Each round's labels are persisted and the
-    previous round's unpersisted — the per-round shuffle is proportional
+    a cheap changed-row probe.  Each round's labels are eagerly
+    local-checkpointed: the pointer-jump self-join would otherwise DOUBLE
+    the logical plan every round (2^rounds plan nodes blows up the driver
+    long before the data does) — lineage truncation is load-bearing for
+    any iterative dataframe algorithm.  Per-round shuffle is proportional
     to |E|, never |V|^2.  Duplicate-cluster graphs have tiny diameters,
     so in practice this is 2-4 rounds.
     """
@@ -469,9 +472,8 @@ def connected_components(
         edges.select(F.col("u").alias("v"))
         .distinct()
         .withColumn("c", F.col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         nbr = edges.join(labels.withColumnRenamed("v", "u"), "u").select("v", "c")
         cand = labels.unionByName(nbr).groupBy("v").agg(F.min("c").alias("c"))
@@ -485,7 +487,7 @@ def connected_components(
                 F.col("a.v").alias("v"),
                 F.least(F.col("a.c"), F.coalesce(F.col("b.c"), F.col("a.c"))).alias("c"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.join(labels.withColumnRenamed("c", "c_old"), "v")
@@ -493,7 +495,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break

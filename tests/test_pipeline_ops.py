@@ -251,3 +251,59 @@ class TestCmsSemijoin:
         expect = orders[orders.o_custkey.isin(keep)][["o_orderkey", "o_custkey"]]
         assert len(got) == len(expect)
         assert set(map(tuple, got.values.tolist())) == set(map(tuple, expect.values.tolist()))
+
+
+class TestClusterResolution:
+    def test_connected_components_transitivity(self, spark):
+        from epichypersketch_jl_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "doc_a: long, doc_b: long"
+        )
+        out = {
+            r.doc_id: r.component
+            for r in connected_components(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    def test_connected_components_long_path_converges(self, spark):
+        # a 40-hop path exercises pointer jumping: plain min-propagation
+        # would need 40 rounds; with path-halving it must finish well
+        # inside max_iter=12 (2^12 >> 40)
+        from epichypersketch_jl_spark.operators.dedup import connected_components
+
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a: long, doc_b: long"
+        )
+        out = connected_components(pairs, max_iter=12).collect()
+        assert len(out) == n + 1
+        assert all(r.component == 0 for r in out)
+
+    def test_connected_components_ignores_self_pairs(self, spark):
+        from epichypersketch_jl_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame([(5, 5), (1, 2)], "doc_a: long, doc_b: long")
+        out = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1}  # pure self-pair vertices drop out
+
+    def test_resolve_duplicate_clusters(self, spark):
+        from epichypersketch_jl_spark.operators.dedup import resolve_duplicate_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id: long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (8, 9)], "doc_a: long, doc_b: long"
+        )
+        out = resolve_duplicate_clusters(docs, pairs).toPandas().set_index("doc_id")
+        assert len(out) == 10
+        assert out.loc[[1, 2, 3], "cluster_id"].tolist() == [1, 1, 1]
+        assert out.loc[[1, 2, 3], "cluster_size"].tolist() == [3, 3, 3]
+        assert out.loc[[8, 9], "cluster_id"].tolist() == [8, 8]
+        # singletons keep themselves
+        for d in (0, 4, 5, 6, 7):
+            assert out.loc[d, "cluster_id"] == d
+            assert out.loc[d, "cluster_size"] == 1
+            assert bool(out.loc[d, "is_keeper"])
+        # exactly one keeper per cluster, the min id
+        keepers = out[out["is_keeper"]].index.tolist()
+        assert set(keepers) == {0, 1, 4, 5, 6, 7, 8}
