@@ -54,6 +54,35 @@ def make_cms(cfg: HyperSketchConfig, conv: bool) -> CountMinSketch:
     )
 
 
+class _CombScratch:
+    """Reusable flat gather buffer for per-chunk combination selection.
+
+    `tm[:, combs]` allocates (rows x ncombs x k) fresh every chunk; at
+    512k-cell chunks that is ~2-4 MB of mmap/munmap + page-fault traffic
+    per chunk, which serializes on the kernel's mmap lock under full-box
+    thread concurrency.  One buffer per (scratch, dtype) is grown once and
+    reused — callers must consume the returned view before the next take()
+    on the same scratch (every consumer copies via fancy-indexing/unique,
+    so nothing retains it).
+    """
+
+    __slots__ = ("_buf",)
+
+    def __init__(self) -> None:
+        self._buf: np.ndarray | None = None
+
+    def take(self, tm: np.ndarray, combs: np.ndarray) -> np.ndarray:
+        rows = tm.shape[0]
+        ncombs, k = combs.shape
+        need = rows * ncombs * k
+        buf = self._buf
+        if buf is None or buf.size < need or buf.dtype != tm.dtype:
+            self._buf = buf = np.empty(max(need, 1), dtype=tm.dtype)
+        view = buf[:need].reshape(rows, ncombs * k)
+        np.take(tm, combs.reshape(-1), axis=1, out=view)
+        return view.reshape(rows, ncombs, k)
+
+
 def _conv_keys(
     tok_sel: np.ndarray, pos_sel: np.ndarray, filter_len: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -95,6 +124,7 @@ def build_batch(
             f"values vs {len(tokens_flat)} tokens — the parallel list "
             "columns must have identical per-row lengths"
         )
+    sc_t, sc_p = _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
@@ -104,12 +134,14 @@ def build_batch(
             tm = np.take_along_axis(tm, order, axis=1)
             pm = np.take_along_axis(pm, order, axis=1)
             for combs in iter_comb_chunks(L, k, budget):
-                keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
+                keys, valid = _conv_keys(
+                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len
+                )
                 cms.update_batch_grouped(keys[valid])
         else:
             tm = np.sort(tm, axis=1)  # canonical ascending motifs (src/record.jl:237-242)
             for combs in iter_comb_chunks(L, k, budget):
-                cms.update_batch_grouped(tm[:, combs].reshape(-1, k))
+                cms.update_batch_grouped(sc_t.take(tm, combs).reshape(-1, k))
     if stats is not None:
         stats.n_rows += len(lengths)
         stats.n_tokens += int(lengths.sum())
@@ -215,6 +247,7 @@ def aggregate_batch(
             acc_o.append(occ[m])
             acc_c.append(csum[m])
 
+    sc_t, sc_p, sc_w = _CombScratch(), _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
@@ -227,8 +260,12 @@ def aggregate_batch(
             if wm is not None:
                 wm = np.take_along_axis(wm, order, axis=1)
             for combs in iter_comb_chunks(L, k, budget):
-                keys, valid = _conv_keys(tm[:, combs], pm[:, combs], cfg.filter_len)
-                contrib = wm[:, combs].sum(axis=-1)[valid] if wm is not None else None
+                keys, valid = _conv_keys(
+                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len
+                )
+                contrib = (
+                    sc_w.take(wm, combs).sum(axis=-1)[valid] if wm is not None else None
+                )
                 process(keys[valid], contrib)
         else:
             if wm is not None:
@@ -239,9 +276,11 @@ def aggregate_batch(
                 tm = np.sort(tm, axis=1)
             for combs in iter_comb_chunks(L, k, budget):
                 contrib = (
-                    wm[:, combs].sum(axis=-1).reshape(-1) if wm is not None else None
+                    sc_w.take(wm, combs).sum(axis=-1).reshape(-1)
+                    if wm is not None
+                    else None
                 )
-                process(tm[:, combs].reshape(-1, k), contrib)
+                process(sc_t.take(tm, combs).reshape(-1, k), contrib)
     if not acc_k:
         kw = 2 * k - 1 if conv else k
         return (
@@ -291,6 +330,7 @@ def extract_batch(
             "columns must have identical per-row lengths"
         )
     out = ExtractOut()
+    sc_t, sc_p, sc_w = _CombScratch(), _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
@@ -310,12 +350,13 @@ def extract_batch(
             tm = np.sort(tm, axis=1)
         for combs in iter_comb_chunks(L, k, budget):
             if conv:
-                tok_sel = tm[:, combs]
-                pos_sel = pm[:, combs]
+                tok_sel = sc_t.take(tm, combs)
+                pos_sel = sc_p.take(pm, combs)
                 keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len)
                 # clamp invalid (overlapping) placements to key 0 so the packed
                 # dedup fast path stays applicable; estimates are masked out
-                keys = np.where(valid[..., None], keys, 0)
+                # (in place: keys is freshly built by _conv_keys)
+                keys[~valid] = 0
                 est = cms.estimate_grouped(keys.reshape(-1, keys.shape[-1])).reshape(
                     keys.shape[:2]
                 )
@@ -328,7 +369,7 @@ def extract_batch(
                 out.starts.append(pos_sel[ri, ci, 0])
                 out.ends.append(pos_sel[ri, ci, -1] + cfg.filter_len - 1)
             else:
-                keys = tm[:, combs]
+                keys = sc_t.take(tm, combs)
                 est = cms.estimate_grouped(keys.reshape(-1, k)).reshape(keys.shape[:2])
                 sel = est >= cfg.min_count
                 ri, ci = np.nonzero(sel)
@@ -337,7 +378,7 @@ def extract_batch(
                 out.motifs.append(keys[ri, ci])
             # shared tail: contribution, doc row, count
             if wm is not None:
-                contrib = wm[:, combs].sum(axis=-1)[ri, ci]
+                contrib = sc_w.take(wm, combs).sum(axis=-1)[ri, ci]
             else:
                 contrib = np.full(ri.size, float(k))
             out.contribs.append(contrib)
