@@ -175,6 +175,10 @@ cross-task coupling at all until the final fixed-size reduce.
 Reference baseline: the reference repo commits no benchmark results
 (BASELINE.md); its harness is single-node CPU-vs-GPU medians only.
 """
+    static_p = os.path.join(REPO, "BENCH", "BASELINE_static.md")
+    if os.path.exists(static_p):
+        with open(static_p) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)

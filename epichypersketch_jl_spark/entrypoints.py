@@ -284,6 +284,79 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_GAP = "6 hours"  # mirrored as 21_600_000 ms in the oracle SQL
+HOURLY_WATERMARK_MS = 7_200_000  # "2 hours", mirrored in the oracle SQL
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming reader over the events parquet (file source needs a
+    DIRECTORY base path; a single-file events.parquet streams via its
+    parent dir + glob filter).  ts arrives TIMESTAMP_NTZ; cast under a
+    UTC-pinned session so epoch-ms values match DuckDB's epoch_ms()."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(ev_path)
+    reader = spark.readStream.schema(batch.schema).format("parquet")
+    if os.path.isdir(ev_path):
+        raw = reader.load(ev_path)
+    else:
+        raw = reader.option("pathGlobFilter", os.path.basename(ev_path)).load(
+            os.path.dirname(ev_path)
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_available_now(sess_df, name_prefix: str):
+    """Run a streaming DataFrame to completion into a memory sink via an
+    availableNow trigger; returns the sink table name."""
+    import tempfile
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix=f"ehs_{name_prefix}_ckpt_") as ckpt:
+        q = (
+            sess_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return name
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation (streaming/windows.py),
+    driven through a REAL availableNow streaming run in append mode: a
+    window row is emitted exactly once, when the event-time watermark
+    passes its end (the final no-data micro-batch flushes every finalized
+    window).  Windows newer than max(ts) - watermark are still open at
+    end-of-stream and are never emitted — the oracle applies the same
+    cutoff.  Exactly the events_hourly batch answer, restricted to
+    finalized windows: the streaming path adds no approximation."""
+    from .streaming.windows import windowed_event_counts
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        stream = _events_stream(spark, sf_dir).select("ts", "event_type")
+        agg = windowed_event_counts(
+            stream, window="1 hour", watermark="2 hours"
+        )
+        name = _run_available_now(agg, "ehs_hourly")
+        out = (
+            spark.table(name)
+            .select(
+                F.unix_millis("window_start").alias("window_start_ms"),
+                F.unix_millis("window_end").alias("window_end_ms"),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("window_start_ms", "event_type")
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,44 +371,15 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes it wherever it lands).  Each key's final, still-open session is
     never gap-closed, so the oracle drops each user's last session.
     Timestamps are compared at the operator's granularity (epoch ms)."""
-    import tempfile
-
     from .streaming.stateful import sessionize
 
-    ev_path = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(ev_path)
-    # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP, and the
-    # NTZ -> TIMESTAMP cast goes through the session timezone — pin it to
-    # UTC for the duration so epoch-ms values match DuckDB's epoch_ms()
-    # (which reads NTZ wall time as UTC), then restore the user's setting.
     tz_key = "spark.sql.session.timeZone"
     old_tz = spark.conf.get(tz_key)
     spark.conf.set(tz_key, "UTC")
     try:
-        # the file stream source requires a DIRECTORY base path; when events
-        # is a single parquet file, stream its parent dir with a glob filter
-        reader = spark.readStream.schema(batch.schema).format("parquet")
-        if os.path.isdir(ev_path):
-            raw = reader.load(ev_path)
-        else:
-            raw = reader.option("pathGlobFilter", os.path.basename(ev_path)).load(
-                os.path.dirname(ev_path)
-            )
-        stream = raw.select(
-            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
-        )
+        stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
         sess = sessionize(stream, gap=SESSION_GAP, watermark="1 hour")
-        name = f"ehs_sessions_{uuid.uuid4().hex[:8]}"
-        with tempfile.TemporaryDirectory(prefix="ehs_sess_ckpt_") as ckpt:
-            q = (
-                sess.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        name = _run_available_now(sess, "ehs_sessions")
         out = (
             spark.table(name)
             .filter(F.col("closed_by") == "gap")
@@ -730,6 +774,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_user_stats": q_events_user_stats,
     "events_sessionized": q_events_sessionized,
+    "events_hourly_stream": q_events_hourly_stream,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -899,6 +944,23 @@ SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS total_value_x100
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    # append-mode watermarked window agg: a window is emitted once its end
+    # falls at-or-under the final watermark (max event time - 2h); newer
+    # windows are still open at end-of-stream and never emitted.
+    "events_hourly_stream": f"""
+WITH e AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+         epoch_ms(date_trunc('hour', ts)) + 3600000 AS window_end_ms,
+         event_type
+  FROM events
+),
+cut AS (SELECT max(epoch_ms(ts)) - {HOURLY_WATERMARK_MS} AS wm FROM events)
+SELECT window_start_ms, window_end_ms, event_type, count(*) AS n_events
+FROM e, cut
+WHERE window_end_ms <= wm
+GROUP BY window_start_ms, window_end_ms, event_type
+ORDER BY window_start_ms, event_type
 """,
     # gap sessionization: lag + cumulative-sum session ids at the operator's
     # ms granularity; each user's LAST session is never gap-closed by a

@@ -2,7 +2,9 @@
 
     spark-submit --py-files dist/ehs.zip jobs/dedup.py \
         --input docs.parquet --method minhash --threshold 0.5 --output out/
-    methods: exact | jaccard | minhash | simhash
+    methods: exact | jaccard | minhash | simhash | resolve
+    (resolve = minhash pairs -> connected components -> keeper election;
+     one row per doc with is_keeper, the end-to-end dedup pass)
 """
 
 from __future__ import annotations
@@ -16,7 +18,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--method", choices=["exact", "jaccard", "minhash", "simhash"], required=True)
+    ap.add_argument(
+        "--method",
+        choices=["exact", "jaccard", "minhash", "simhash", "resolve"],
+        required=True,
+    )
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--ngram", type=int, default=3)
@@ -54,6 +60,15 @@ def main() -> None:
             num_perm=args.num_perm, bands=args.bands, seed=args.seed,
             threshold=args.threshold,
         )
+    elif args.method == "resolve":
+        # full dedup pass: MinHash-LSH pairs -> connected components ->
+        # keeper per cluster; one row per input doc, filter is_keeper to drop
+        pairs = D.minhash_lsh_pairs(
+            df, text_col=args.text_col, id_col=args.id_col, n=args.ngram,
+            num_perm=args.num_perm, bands=args.bands, seed=args.seed,
+            threshold=args.threshold,
+        )
+        out = D.resolve_duplicate_clusters(df, pairs, id_col=args.id_col)
     else:
         out = D.simhash_near_pairs(
             df, text_col=args.text_col, id_col=args.id_col,
