@@ -539,6 +539,105 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_duplicate_clusters(docs, pairs).orderBy("doc_id")
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate CLUSTER resolution: exact cosine
+    pairs (>= 0.4) -> connected components -> keeper election, the same
+    resolution step dedup_clusters proves for text.  Exactly oracle-able:
+    DuckDB recomputes the pair set with list_cosine_similarity (verified
+    bit-identical to the Spark aggregate-based cosine on this data — no
+    pair sits within 1e-9 of the threshold) and the same transitive
+    closure with a recursive CTE.  The brute-force O(N^2) pair scan here
+    is the verification-gate shape; the scale path is cosine_neardup_lsh
+    feeding the same resolve_duplicate_clusters."""
+    from .operators.dedup import resolve_duplicate_clusters
+    from .operators.similarity import _cosine_expr
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = vecs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_cosine_expr(F.col("va"), F.col("vb")) >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    return (
+        resolve_duplicate_clusters(emb, pairs, id_col="vec_id")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
+        .orderBy("vec_id")
+    )
+
+
+CHUNK_MAX_WORDS = 64
+CHUNK_OVERLAP = 8  # stride 56, mirrored in the oracle SQL
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (corpus_prep.chunk_documents): each document
+    split into <= 64-word windows with 8 words of overlap — the
+    pre-tokenizer step of a training pipeline.  Pure Catalyst (split /
+    sequence / posexplode / slice), zero Python, no shuffle; the oracle
+    recomputes the identical window layout with list slicing."""
+    from .operators.corpus_prep import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, max_words=CHUNK_MAX_WORDS, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (corpus_prep.stable_split):
+    split = contiguous xxhash64-bucket ranges, so membership depends only on
+    (doc_id, seed).  xxhash64 is not reproducible in DuckDB, so the oracle
+    is invariant-style: the exact total, full assignment coverage, realized
+    fractions inside binomial bounds, and partition-order independence
+    (re-deriving the split after a repartition(7) changes zero rows) —
+    each reduced to a value DuckDB states exactly."""
+    from .operators.corpus_prep import stable_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    s = stable_split(docs, fractions={"train": 0.8, "valid": 0.1, "test": 0.1})
+    agg = (
+        s.groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("split").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+        .collect()[0]
+    )
+    s2 = stable_split(
+        docs.repartition(7), fractions={"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).select("doc_id", F.col("split").alias("split2"))
+    n_moved = (
+        s.select("doc_id", "split")
+        .join(s2, "doc_id")
+        .filter(F.col("split") != F.col("split2"))
+        .count()
+    )
+    n = agg.n
+    ok_frac = (
+        abs(agg.n_train / n - 0.8) <= 0.05
+        and abs(agg.n_valid / n - 0.1) <= 0.04
+        and abs(agg.n_test / n - 0.1) <= 0.04
+    )
+    return spark.createDataFrame(
+        [(int(n), int(agg.n_null), bool(ok_frac), int(n_moved))],
+        schema="n_total: long, n_unassigned: long, fractions_in_bounds: boolean, n_partition_moved: long",
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import token_stats
 
@@ -780,6 +879,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    "doc_chunks": q_doc_chunks,
+    "stable_split": q_stable_split,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1076,6 +1178,68 @@ SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
        lab.doc_id = lab.cluster_id AS is_keeper
 FROM lab JOIN sz USING (cluster_id)
 ORDER BY lab.doc_id
+""",
+    # same transitive-closure shape as dedup_clusters, over the exact
+    # cosine pair set (list_cosine_similarity verified bit-identical to the
+    # Spark aggregate cosine on this data; no pair within 1e-9 of 0.4)
+    "embedding_dedup_clusters": """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= 0.4
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, c) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.v, e.v FROM reach r JOIN edges e ON r.c = e.u
+),
+comp AS (SELECT v AS vec_id, min(c) AS cluster_id FROM reach GROUP BY v),
+lab AS (
+  SELECT emb.vec_id, COALESCE(comp.cluster_id, emb.vec_id) AS cluster_id
+  FROM embeddings emb LEFT JOIN comp USING (vec_id)
+),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+       lab.vec_id = lab.cluster_id AS is_keeper
+FROM lab JOIN sz USING (cluster_id)
+ORDER BY lab.vec_id
+""",
+    # identical window layout via 1-based inclusive list slicing:
+    # chunk i covers words [i*stride+1, min(i*stride+max, n)]
+    "doc_chunks": f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+meta AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= {CHUNK_MAX_WORDS} THEN 1
+              ELSE 1 + CAST(CEIL((len(w) - {CHUNK_MAX_WORDS})
+                                 / {CHUNK_MAX_WORDS - CHUNK_OVERLAP}.0) AS INT)
+         END AS n_chunks
+  FROM ws),
+c AS (SELECT doc_id, w, n, unnest(range(n_chunks)) AS chunk_id FROM meta)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(
+         w[chunk_id * {CHUNK_MAX_WORDS - CHUNK_OVERLAP} + 1 :
+           least(chunk_id * {CHUNK_MAX_WORDS - CHUNK_OVERLAP}
+                 + {CHUNK_MAX_WORDS}, n)], ' ') AS chunk_text,
+       CAST(least({CHUNK_MAX_WORDS},
+                  n - chunk_id * {CHUNK_MAX_WORDS - CHUNK_OVERLAP}) AS INT)
+         AS n_words
+FROM c ORDER BY doc_id, chunk_id
+""",
+    # xxhash64 is not reproducible in DuckDB -> invariant oracle: exact
+    # total, zero unassigned, realized fractions inside binomial bounds,
+    # zero rows moved by repartitioning (content-hash determinism)
+    "stable_split": """
+SELECT count(*) AS n_total, CAST(0 AS BIGINT) AS n_unassigned,
+       TRUE AS fractions_in_bounds, CAST(0 AS BIGINT) AS n_partition_moved
+FROM documents
 """,
     "token_stats": """
 SELECT doc_id,
