@@ -34,52 +34,28 @@ _BLOB_ARROW = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
 def _grouped_blobs(
     df: DataFrame,
     value_col: str,
-    group_col: str | None,
+    group_col: None,
     zero_fn,
     update_fn,
     is_list: bool,
 ) -> dict[str, object]:
-    """Run a mapInArrow pass emitting one sketch blob per (task, group),
-    then merge per group on the driver (group cardinality is assumed small —
-    it's a grouping key, not a payload)."""
-    cols = [value_col] + ([group_col] if group_col else [])
-    src = df.select(*cols)
+    """Run a mapInArrow pass emitting one sketch blob per task, merged on
+    the driver (fixed-size blobs, one per task — never row data).  Grouped
+    builds go through _hll_grouped, which shuffles sparse blobs by group
+    and merges executor-side instead; this path is the single-sketch
+    (group_col=None) reduction used by hll_distinct and build_bloom."""
+    assert group_col is None
+    src = df.select(value_col)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         local: dict[str, object] = {}
         for batch in batches:
             if is_list:
-                flat, offsets = list_column_to_numpy(batch.column(value_col))
+                flat, _offsets = list_column_to_numpy(batch.column(value_col))
             else:
                 flat = batch.column(value_col).to_numpy(zero_copy_only=False)
-                offsets = None
-            if group_col is None:
-                sk = local.setdefault("__all__", zero_fn())
-                update_fn(sk, flat)
-            else:
-                # vectorized grouping: dictionary-encode the group column,
-                # repeat codes to value level, one stable argsort, then each
-                # group's values are a contiguous slice — no per-row Python,
-                # O(V log V) regardless of group cardinality.
-                import pyarrow.compute as pc
-
-                gcol = pc.fill_null(batch.column(group_col).cast(pa.string()), "None")
-                denc = gcol.dictionary_encode()
-                codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                names = denc.dictionary.to_pylist()
-                if is_list:
-                    vcodes = np.repeat(codes, np.diff(offsets))
-                else:
-                    vcodes = codes
-                vorder = np.argsort(vcodes, kind="stable")
-                vals_sorted = flat[vorder]
-                counts = np.bincount(vcodes, minlength=len(names))
-                bounds = np.concatenate(([0], np.cumsum(counts)))
-                for gi, name in enumerate(names):
-                    if counts[gi] == 0:
-                        continue
-                    sk = local.setdefault(str(name), zero_fn())
-                    update_fn(sk, vals_sorted[bounds[gi] : bounds[gi + 1]])
+            sk = local.setdefault("__all__", zero_fn())
+            update_fn(sk, flat)
         for g, sk in local.items():
             yield pa.RecordBatch.from_pydict(
                 {"group": [g], "sketch": [sk.to_bytes()]}, schema=_BLOB_ARROW
@@ -91,6 +67,152 @@ def _grouped_blobs(
         sk = from_bytes(bytes(r.sketch))
         merged[r.group] = merged[r.group].merge(sk) if r.group in merged else sk
     return merged
+
+
+def _hll_grouped(
+    df: DataFrame, value_col: str, group_col: str, p: int, seed: int, is_list: bool
+) -> DataFrame:
+    """Grouped HLL build that stays scalable when the NUMBER OF GROUPS is
+    large (the group column is data, not a 20-value dimension):
+
+    - the map side computes hashes/register-updates for the whole Arrow
+      batch at once, reduces to per-(group, register) maxima with one
+      argsort + maximum.reduceat, and emits SPARSE blobs (5 bytes per
+      distinct register, sketches/hll.py frame_sparse) — no per-group
+      Python objects, no per-group dense 2^p register arrays, so a task
+      that sees 100k groups allocates O(values) not O(groups * 2^p);
+    - the merge is DISTRIBUTED and vectorized: blobs hash-partition by
+      group (one row per task-group, sparse-sized) and a mapInArrow pass
+      max-merges + estimates EVERY group in its partition with one
+      argsort/reduceat — no per-group Python function calls
+      (applyInPandas's per-group invocation overhead dominates at 100k
+      groups), no driver collect.  The round-2 design collected every
+      (task, group) blob to the driver, which at 100k groups x 32 tasks
+      is ~52 GB of dense registers; measured in BENCH/grouped_micro.json:
+      10 -> 100k groups over 5M values moves 1.9 s -> 4.1 s (~flat).
+
+    Register contents are bit-identical to the dense path (shared
+    hashes_to_sparse), so estimates are unchanged for any group count.
+    """
+    import pyarrow.compute as pc
+
+    from ..sketches.hll import (
+        estimate_from_sparse,
+        frame_sparse,
+        hashes_to_sparse,
+        parse_sparse_blob,
+    )
+
+    m = 1 << p
+    src = df.select(value_col, group_col)
+
+    def _dedup_keys(key: np.ndarray, rank: np.ndarray):
+        """Sort (key, rank) and keep the max rank per distinct key."""
+        order = np.argsort(key, kind="stable")
+        ks, rs = key[order], rank[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return ks[starts], np.maximum.reduceat(rs, starts)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # task-global group dictionary: per batch only the batch's DISTINCT
+        # names hit Python; values flow through numpy end to end
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        key_chunks: list[np.ndarray] = []
+        rank_chunks: list[np.ndarray] = []
+        for batch in batches:
+            if is_list:
+                flat, offsets = list_column_to_numpy(batch.column(value_col))
+            else:
+                flat = batch.column(value_col).to_numpy(zero_copy_only=False)
+                offsets = None
+            if flat.size == 0:
+                continue
+            gcol = pc.fill_null(batch.column(group_col).cast(pa.string()), "None")
+            denc = gcol.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            bnames = denc.dictionary.to_pylist()
+            remap = np.empty(len(bnames), dtype=np.int64)
+            for bi, name in enumerate(bnames):
+                name = str(name)
+                tid = tid_of.get(name)
+                if tid is None:
+                    tid = tid_of[name] = len(names)
+                    names.append(name)
+                remap[bi] = tid
+            tids = remap[codes]
+            vtids = np.repeat(tids, np.diff(offsets)) if is_list else tids
+            idx, rank = hashes_to_sparse(hash64(flat, seed=seed), p)
+            ku, rmax = _dedup_keys(vtids * m + idx, rank)
+            key_chunks.append(ku)
+            rank_chunks.append(rmax)
+        if not key_chunks:
+            return
+        ku, rmax = _dedup_keys(
+            np.concatenate(key_chunks), np.concatenate(rank_chunks)
+        )
+        gu, iu = ku // m, (ku % m).astype(np.int32)
+        gstart = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
+        gend = np.concatenate((gstart[1:], [len(gu)]))
+        out_names: list[str] = []
+        out_blobs: list[bytes] = []
+        for s, e in zip(gstart, gend):
+            out_names.append(names[gu[s]])
+            out_blobs.append(frame_sparse(p, seed, iu[s:e], rmax[s:e]))
+            if len(out_names) == 4096:
+                yield pa.RecordBatch.from_pydict(
+                    {"group": out_names, "sketch": out_blobs}, schema=_BLOB_ARROW
+                )
+                out_names, out_blobs = [], []
+        if out_names:
+            yield pa.RecordBatch.from_pydict(
+                {"group": out_names, "sketch": out_blobs}, schema=_BLOB_ARROW
+            )
+
+    # hash-partition the (task, group) sparse blobs so each group lands
+    # wholly in one partition, then merge + estimate vectorized per
+    # partition — no per-group Python function calls, no driver collect
+    blobs = src.mapInArrow(fn, _BLOB_SCHEMA).repartition(F.col("group"))
+
+    def merge_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        key_chunks: list[np.ndarray] = []
+        rank_chunks: list[np.ndarray] = []
+        for batch in batches:
+            for name, blob in zip(
+                batch.column("group").to_pylist(),
+                batch.column("sketch").to_pylist(),
+            ):
+                bp, bseed, idx, ranks = parse_sparse_blob(bytes(blob))
+                if bp != p or bseed != seed:
+                    raise ValueError("mixed HLL parameters in grouped merge")
+                tid = tid_of.get(name)
+                if tid is None:
+                    tid = tid_of[name] = len(names)
+                    names.append(name)
+                key_chunks.append(tid * m + idx)
+                rank_chunks.append(ranks)
+        if not key_chunks:
+            return
+        ku, rmax = _dedup_keys(
+            np.concatenate(key_chunks),
+            np.concatenate(rank_chunks).astype(np.uint8),
+        )
+        gu = ku // m
+        gstart = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
+        nnz = np.diff(np.concatenate((gstart, [len(gu)])))
+        pow_sums = np.add.reduceat(np.ldexp(1.0, -rmax.astype(np.int64)), gstart)
+        est = np.rint(estimate_from_sparse(p, nnz, pow_sums)).astype(np.int64)
+        out_names = [names[g] for g in gu[gstart]]
+        yield pa.RecordBatch.from_pydict(
+            {"group": out_names, "approx_distinct": est.tolist()},
+            schema=pa.schema([("group", pa.string()), ("approx_distinct", pa.int64())]),
+        )
+
+    return blobs.mapInArrow(
+        merge_fn, "group string, approx_distinct long"
+    ).withColumnRenamed("group", group_col)
 
 
 def hll_distinct(
@@ -105,22 +227,22 @@ def hll_distinct(
     overall or per group.  Returns (group?, approx_distinct: long)."""
     is_list = df.schema[value_col].dataType.typeName() == "array"
 
+    if group_col is not None:
+        return _hll_grouped(df, value_col, group_col, p, seed, is_list).orderBy(
+            group_col
+        )
+
     def update(sk: HyperLogLog, vals: np.ndarray) -> None:
         sk.update_batch(vals)
 
     merged = _grouped_blobs(
-        df, value_col, group_col, lambda: HyperLogLog(p=p, seed=seed), update, is_list
+        df, value_col, None, lambda: HyperLogLog(p=p, seed=seed), update, is_list
     )
     spark = df.sparkSession
-    rows = [
-        (g, int(round(sk.estimate())))
-        for g, sk in sorted(merged.items())
-    ]
-    if group_col is None:
-        return spark.createDataFrame(
-            [(r[1],) for r in rows], schema="approx_distinct: long"
-        )
-    return spark.createDataFrame(rows, schema=f"{group_col}: string, approx_distinct: long")
+    rows = sorted((g, int(round(sk.estimate()))) for g, sk in merged.items())
+    return spark.createDataFrame(
+        [(r[1],) for r in rows], schema="approx_distinct: long"
+    )
 
 
 def build_bloom(

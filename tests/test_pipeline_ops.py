@@ -158,6 +158,30 @@ class TestCardinalityQuantiles:
         rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
         assert (rel < 0.05).all(), m
 
+    def test_hll_grouped_high_cardinality(self, spark):
+        """The sparse-blob grouped path must stay correct (and partition-
+        invariant) when the group column has many distinct values — the
+        regime the round-3 rewrite exists for."""
+        df = (
+            spark.range(60_000)
+            .withColumn("grp", F.pmod(F.xxhash64("id"), F.lit(800)))
+            .withColumn("value", F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5000)))
+            .select(F.concat(F.lit("g"), "grp").alias("grp"), "value")
+        )
+        approx = hll_distinct(df, "value", group_col="grp", p=12).toPandas()
+        assert len(approx) == 800
+        exact = (
+            df.groupBy("grp").agg(F.countDistinct("value").alias("n")).toPandas()
+        )
+        m = approx.merge(exact, on="grp")
+        assert len(m) == 800
+        rel = (m["approx_distinct"] - m["n"]).abs() / m["n"]
+        assert (rel < 0.10).all()  # ~75 values/group, p=12 -> generous bound
+        # partition invariance: identical estimates from a different layout
+        again = hll_distinct(df.repartition(13), "value", group_col="grp", p=12).toPandas()
+        mm = approx.merge(again, on="grp", suffixes=("", "_b"))
+        assert (mm["approx_distinct"] == mm["approx_distinct_b"]).all()
+
     def test_kll_vs_exact(self, spark, sf_dir):
         from epichypersketch_jl_spark.sources.tables import documents_sequences
 

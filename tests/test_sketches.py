@@ -129,6 +129,52 @@ class TestHLL:
             merged = merged.merge(p)
         assert np.array_equal(merged.regs, whole.regs)  # byte-identical
 
+    def test_sparse_dense_roundtrip(self):
+        from epichypersketch_jl_spark.sketches.hll import (
+            estimate_from_sparse,
+            frame_sparse,
+            hashes_to_sparse,
+            parse_sparse_blob,
+        )
+        from epichypersketch_jl_spark.functions.hashing import hash64
+
+        # small sketch -> sparse payload; large -> dense; both roundtrip
+        small = HyperLogLog(p=14, seed=3)
+        small.update_batch(np.arange(50, dtype=np.int64))
+        blob = small.to_bytes()
+        assert len(blob) < 1000  # sparse: ~5 bytes/register, not 16 KiB
+        assert np.array_equal(from_bytes(blob).regs, small.regs)
+        big = HyperLogLog(p=8, seed=3)
+        big.update_batch(np.arange(5000, dtype=np.int64))
+        assert np.array_equal(from_bytes(big.to_bytes()).regs, big.regs)
+
+        # frame_sparse/parse_sparse_blob carry (idx, rank) losslessly and
+        # reconstruct the same registers as the dense update path
+        h = hash64(np.arange(50, dtype=np.int64), seed=3)
+        idx, rank = hashes_to_sparse(h, 14)
+        p_, s_, i2, r2 = parse_sparse_blob(frame_sparse(14, 3, idx, rank))
+        assert (p_, s_) == (14, 3)
+        dense = np.zeros(1 << 14, dtype=np.uint8)
+        np.maximum.at(dense, i2, r2)
+        assert np.array_equal(dense, small.regs)
+
+        # vectorized estimator == scalar estimate (to float tolerance)
+        nz = np.flatnonzero(small.regs)
+        pows = np.ldexp(1.0, -small.regs[nz].astype(np.int64)).sum()
+        vec = estimate_from_sparse(14, np.array([nz.size]), np.array([pows]))[0]
+        assert abs(vec - small.estimate()) < 1e-6 * max(small.estimate(), 1)
+
+    def test_corrupt_payload_raises(self):
+        h = HyperLogLog(p=4, seed=1)
+        h.update_batch(np.arange(3))
+        blob = bytearray(h.to_bytes())
+        with pytest.raises(ValueError):
+            from_bytes(bytes(blob[:20]))  # truncated
+        bad = blob.copy()
+        bad[16 + 12] = ord("X")  # unknown mode byte, wrong length for legacy
+        with pytest.raises(ValueError):
+            from_bytes(bytes(bad))
+
 
 # ------------------------------------------------------------------- Bloom
 class TestBloom:

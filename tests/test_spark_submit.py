@@ -132,3 +132,60 @@ class TestTokenizeJob:
         assert a == b
         vocab = spark.read.parquet(vout)
         assert vocab.count() == vocab.select("tok").distinct().count()
+
+
+class TestCorpusPipelineJob:
+    def test_end_to_end(self, spark, dist_zip, tmp_path):
+        """Composed pipeline: quality gate -> exact dedup -> near-dup
+        resolve -> chunk -> split.  Planted: one exact duplicate and one
+        near-duplicate (one word appended) of the same base doc — the
+        exact pass must drop the copy, the near-dup pass must drop the
+        appended variant, and all surviving chunks must stitch back to
+        keeper documents only."""
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        d0 = base.orderBy("doc_id").limit(1).collect()[0]
+        extra = spark.createDataFrame(
+            [
+                (900001, d0.text),             # exact duplicate of doc 0
+                (900002, d0.text + " zzz"),    # near-duplicate (jaccard ~1)
+                (900003, "a b"),               # fails min-words gate
+            ],
+            "doc_id: long, text: string",
+        )
+        inp = str(tmp_path / "docs_pipe")
+        outp = str(tmp_path / "chunks_pipe")
+        report = str(tmp_path / "report.json")
+        base.select("doc_id", "text").unionByName(extra).write.parquet(inp)
+
+        r = _spark_submit(
+            dist_zip,
+            "corpus_pipeline.py",
+            "--input", inp, "--output", outp, "--report", report,
+            "--min-words", "5", "--threshold", "0.5",
+            "--max-words", "32", "--overlap", "4",
+            "--train-frac", "0.8", "--valid-frac", "0.1",
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        with open(report) as f:
+            counts = json.load(f)
+        n_base = base.count()
+        assert counts["input"] == n_base + 3
+        assert counts["after_quality_gate"] == n_base + 2   # 900003 gated
+        assert counts["after_exact_dedup"] == n_base + 1    # 900001 dropped
+        # 900002 is dropped here; the base corpus contains organic near-dup
+        # clusters of its own, so the count only bounds from above
+        assert counts["after_neardup_resolve"] < counts["after_exact_dedup"]
+
+        chunks = spark.read.parquet(outp)
+        assert set(chunks.select("split").distinct().toPandas()["split"]) <= {
+            "train", "valid", "test"
+        }
+        assert chunks.filter(F.col("doc_id").isin([900001, 900002, 900003])).count() == 0
+        # chunks stitch back: every surviving doc is fully covered
+        surv = chunks.select("doc_id").distinct().count()
+        assert surv == counts["after_neardup_resolve"]
+        assert counts["chunks_written"] == chunks.count()
+        # every chunk respects the window bound
+        assert chunks.filter(F.col("n_words") > 32).count() == 0
