@@ -354,6 +354,7 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start_ms", "event_type")
         )
         rows = out.collect()
+        spark.catalog.dropTempView(name)  # free the memory sink's rows
     finally:
         spark.conf.set(tz_key, old_tz)
     return spark.createDataFrame(rows, schema=out.schema)
@@ -394,6 +395,7 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the memory-sink table goes out of scope
         rows = out.collect()
+        spark.catalog.dropTempView(name)  # free the memory sink's rows
     finally:
         spark.conf.set(tz_key, old_tz)
     return spark.createDataFrame(rows, schema=out.schema)

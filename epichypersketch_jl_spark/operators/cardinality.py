@@ -31,42 +31,35 @@ _BLOB_SCHEMA = StructType(
 _BLOB_ARROW = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
 
 
-def _grouped_blobs(
-    df: DataFrame,
-    value_col: str,
-    group_col: None,
-    zero_fn,
-    update_fn,
-    is_list: bool,
-) -> dict[str, object]:
-    """Run a mapInArrow pass emitting one sketch blob per task, merged on
-    the driver (fixed-size blobs, one per task — never row data).  Grouped
-    builds go through _hll_grouped, which shuffles sparse blobs by group
-    and merges executor-side instead; this path is the single-sketch
-    (group_col=None) reduction used by hll_distinct and build_bloom."""
-    assert group_col is None
+def _reduce_sketch(df: DataFrame, value_col: str, zero_fn, update_fn, is_list: bool):
+    """Single-sketch reduction: one mapInArrow pass emitting ONE blob per
+    task (fixed-size, never row data), merged associatively on the driver.
+    Grouped builds go through _hll_grouped, which shuffles sparse blobs by
+    group and merges executor-side instead."""
     src = df.select(value_col)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        local: dict[str, object] = {}
+        sk = None
         for batch in batches:
             if is_list:
                 flat, _offsets = list_column_to_numpy(batch.column(value_col))
             else:
                 flat = batch.column(value_col).to_numpy(zero_copy_only=False)
-            sk = local.setdefault("__all__", zero_fn())
+            if sk is None:
+                sk = zero_fn()
             update_fn(sk, flat)
-        for g, sk in local.items():
+        if sk is not None:
             yield pa.RecordBatch.from_pydict(
-                {"group": [g], "sketch": [sk.to_bytes()]}, schema=_BLOB_ARROW
+                {"group": ["__all__"], "sketch": [sk.to_bytes()]},
+                schema=_BLOB_ARROW,
             )
 
     rows = src.mapInArrow(fn, _BLOB_SCHEMA).collect()
-    merged: dict[str, object] = {}
+    merged = None
     for r in rows:
         sk = from_bytes(bytes(r.sketch))
-        merged[r.group] = merged[r.group].merge(sk) if r.group in merged else sk
-    return merged
+        merged = sk if merged is None else merged.merge(sk)
+    return merged if merged is not None else zero_fn()
 
 
 def _hll_grouped(
@@ -224,7 +217,8 @@ def hll_distinct(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate distinct count of value_col (scalar or array element),
-    overall or per group.  Returns (group?, approx_distinct: long)."""
+    overall or per group.  Returns (group?, approx_distinct: long);
+    ungrouped, an empty input is one row with 0 (|distinct({})| = 0)."""
     is_list = df.schema[value_col].dataType.typeName() == "array"
 
     if group_col is not None:
@@ -235,13 +229,11 @@ def hll_distinct(
     def update(sk: HyperLogLog, vals: np.ndarray) -> None:
         sk.update_batch(vals)
 
-    merged = _grouped_blobs(
-        df, value_col, None, lambda: HyperLogLog(p=p, seed=seed), update, is_list
+    sk = _reduce_sketch(
+        df, value_col, lambda: HyperLogLog(p=p, seed=seed), update, is_list
     )
-    spark = df.sparkSession
-    rows = sorted((g, int(round(sk.estimate()))) for g, sk in merged.items())
-    return spark.createDataFrame(
-        [(r[1],) for r in rows], schema="approx_distinct: long"
+    return df.sparkSession.createDataFrame(
+        [(int(round(sk.estimate())),)], schema="approx_distinct: long"
     )
 
 
@@ -259,15 +251,13 @@ def build_bloom(
     def update(sk: BloomFilter, vals: np.ndarray) -> None:
         sk.update_batch(vals)
 
-    merged = _grouped_blobs(
+    return _reduce_sketch(
         df,
         value_col,
-        None,
         lambda: BloomFilter(n_expected=n_expected, fpp=fpp, seed=seed),
         update,
         is_list,
     )
-    return merged["__all__"]
 
 
 def _sketch_filter(df: DataFrame, probe_col: str, sketch_bytes: bytes, mask_fn) -> DataFrame:

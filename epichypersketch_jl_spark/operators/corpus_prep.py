@@ -53,7 +53,10 @@ def chunk_documents(
             f"max_words={max_words}"
         )
     stride = max_words - overlap
-    words = F.split(F.col(text_col), " ")
+    # NULL text would propagate through split -> sequence -> posexplode and
+    # silently DROP the row; coalesce keeps the every-row-yields-a-chunk
+    # invariant (NULL behaves like empty text)
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(words)
     n_chunks = F.when(n <= max_words, F.lit(1)).otherwise(
         (F.lit(1) + F.ceil((n - F.lit(max_words)) / F.lit(stride))).cast("int")

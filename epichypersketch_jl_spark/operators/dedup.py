@@ -513,10 +513,14 @@ def resolve_duplicate_clusters(
 ) -> DataFrame:
     """Full near-duplicate resolution: pair list -> connected components ->
     keeper election.  Returns one row per INPUT doc: (doc_id, cluster_id,
-    cluster_size, is_keeper) — `cluster_id` is the smallest doc id in the
-    doc's duplicate cluster (its own id for singletons), the keeper is that
-    smallest id (the same deterministic election exact_dedup uses), and
-    dropping rows with is_keeper = false IS the dedup pass.
+    cluster_size, is_keeper) — `cluster_id` is the component label (the
+    smallest id reachable in the pair graph; the doc's own id for
+    singletons), the keeper is the smallest id among the cluster's members
+    PRESENT IN docs (the same deterministic election exact_dedup uses), and
+    dropping rows with is_keeper = false IS the dedup pass.  Electing among
+    present members matters when `pairs` was computed over a superset of
+    `docs` (e.g. a filter ran in between): a component whose label id was
+    filtered away must still keep exactly one survivor, never zero.
 
     This is the piece pair-emitting dedup leaves to the user: transitive
     closure (A~B, B~C => {A,B,C} one cluster even if A,C were never
@@ -527,10 +531,13 @@ def resolve_duplicate_clusters(
     labeled = base.join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("_keeper_id"),
+    )
     return labeled.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        (F.col("doc_id") == F.col("_keeper_id")).alias("is_keeper"),
     )

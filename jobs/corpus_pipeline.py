@@ -60,8 +60,19 @@ def main() -> None:
     )
     from epichypersketch_jl_spark.operators.text_analysis import quality_score
 
+    from pyspark import StorageLevel
+
     counts: dict[str, int] = {}
-    docs = spark.read.parquet(args.input)
+    # each stage boundary is persisted so the per-stage observability
+    # counts and the final write never recompute the upstream chain
+    pinned: list = []
+
+    def pin(df):
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(df)
+        return df
+
+    docs = pin(spark.read.parquet(args.input))
     counts["input"] = docs.count()
 
     # 1. quality gate — pure projection, no shuffle; join back on id keeps
@@ -71,16 +82,18 @@ def main() -> None:
         (F.col("n_words") >= args.min_words)
         & (F.col("stop_ratio_x1000") <= args.max_stop_ratio)
     ).select(args.id_col)
-    docs = docs.join(keep_ids, args.id_col)
+    docs = pin(docs.join(keep_ids, args.id_col))
     counts["after_quality_gate"] = docs.count()
 
     # 2. exact dedup — keep one doc per identical text
     exact = D.exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
-    docs = docs.join(
-        exact.filter(F.col("doc_id") == F.col("keep_doc_id")).select(
-            F.col("doc_id").alias(args.id_col)
-        ),
-        args.id_col,
+    docs = pin(
+        docs.join(
+            exact.filter(F.col(args.id_col) == F.col("keep_doc_id")).select(
+                args.id_col
+            ),
+            args.id_col,
+        )
     )
     counts["after_exact_dedup"] = docs.count()
 
@@ -97,10 +110,12 @@ def main() -> None:
         threshold=args.threshold,
     )
     resolved = D.resolve_duplicate_clusters(docs, pairs, id_col=args.id_col)
-    docs = docs.join(
-        resolved.filter(F.col("is_keeper"))
-        .select(F.col("doc_id").alias(args.id_col)),
-        args.id_col,
+    docs = pin(
+        docs.join(
+            resolved.filter(F.col("is_keeper"))
+            .select(F.col("doc_id").alias(args.id_col)),
+            args.id_col,
+        )
     )
     counts["after_neardup_resolve"] = docs.count()
 
@@ -134,6 +149,8 @@ def main() -> None:
     if args.report:
         with open(args.report, "w") as f:
             json.dump(counts, f, indent=1)
+    for df in pinned:
+        df.unpersist()
     spark.stop()
 
 

@@ -131,3 +131,46 @@ class TestSimilarityValidation:
         ).toPandas()
         assert set(out.qid) == {"v000", "v001", "v002"}
         assert out.groupby("qid").size().max() <= 3
+
+
+class TestRound3ReviewFixes:
+    def test_resolve_clusters_superset_pairs_keeps_one(self, spark):
+        """Pairs computed over a SUPERSET of docs (a filter ran between
+        pairing and resolution): the component label id may be absent from
+        docs, but each cluster must still elect exactly one present keeper
+        — never zero survivors."""
+        from pyspark.sql import functions as F
+
+        from epichypersketch_jl_spark.operators.dedup import (
+            resolve_duplicate_clusters,
+        )
+
+        docs = spark.createDataFrame([(7,), (9,), (11,)], "doc_id: long")
+        # doc 5 was filtered out after pairing; component label for {7, 9} is 5
+        pairs = spark.createDataFrame(
+            [(5, 7), (7, 9)], "doc_a: long, doc_b: long"
+        )
+        out = resolve_duplicate_clusters(docs, pairs).toPandas()
+        assert len(out) == 3
+        cluster = out[out.doc_id.isin([7, 9])]
+        assert cluster.is_keeper.sum() == 1
+        assert cluster[cluster.is_keeper].doc_id.iloc[0] == 7  # min present id
+        single = out[out.doc_id == 11]
+        assert bool(single.is_keeper.iloc[0])
+
+    def test_chunk_documents_null_text(self, spark):
+        """NULL text must not silently drop the row."""
+        from epichypersketch_jl_spark.operators.corpus_prep import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, None)], "doc_id: long, text: string"
+        )
+        out = chunk_documents(df, max_words=4, overlap=1).toPandas()
+        assert set(out.doc_id) == {1, 2}
+
+    def test_hll_ungrouped_empty_input(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import hll_distinct
+
+        df = spark.createDataFrame([], "value: long").filter("value > 0")
+        out = hll_distinct(df, "value").toPandas()
+        assert len(out) == 1 and out.approx_distinct.iloc[0] == 0
