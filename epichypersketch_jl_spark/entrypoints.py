@@ -422,6 +422,50 @@ JACCARD_T = 0.5
 SHINGLE_DF_CAP = 1000  # stop-shingle cap, mirrored in the oracle SQL
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/joins.py): each view event
+    matched with the same user's purchase events within the following
+    hour — the attribution join, run through a real availableNow streaming
+    execution with watermarked state on both sides.  Exactly oracle-able:
+    the watermark only bounds state, it drops nothing for in-watermark
+    data, so the emitted pair set equals the batch interval join DuckDB
+    computes directly (multi-batch == batch equality is pinned separately
+    by pytest via maxFilesPerTrigger=1)."""
+    from .streaming.joins import stream_interval_join
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select("user_id", "event_id", "ts")
+        )
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts", "value")
+        )
+        j = stream_interval_join(
+            views, purchases, key="user_id", max_delay="1 hour", watermark="2 hours"
+        ).select(
+            "user_id",
+            F.col("l_event_id").alias("view_event_id"),
+            F.col("r_event_id").alias("purchase_event_id"),
+            F.unix_millis("l_ts").alias("view_ms"),
+            F.unix_millis("r_ts").alias("purchase_ms"),
+            F.round(F.col("r_value") * 100).cast("long").alias("purchase_value_x100"),
+        )
+        name = _run_available_now(j, "ehs_sjoin")
+        out = spark.table(name).orderBy("view_event_id", "purchase_event_id")
+        rows = out.collect()
+        spark.catalog.dropTempView(name)  # free the memory sink's rows
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
 
@@ -876,6 +920,7 @@ QUERIES = {
     "events_user_stats": q_events_user_stats,
     "events_sessionized": q_events_sessionized,
     "events_hourly_stream": q_events_hourly_stream,
+    "events_stream_join": q_events_stream_join,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1069,6 +1114,22 @@ ORDER BY window_start_ms, event_type
     # gap sessionization: lag + cumulative-sum session ids at the operator's
     # ms granularity; each user's LAST session is never gap-closed by a
     # later event, so the streaming query never emits it — drop it here too.
+    # stream-stream interval join == the batch interval join: watermarks
+    # bound state, they drop nothing for in-watermark data
+    "events_stream_join": """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       epoch_ms(v.ts) AS view_ms,
+       epoch_ms(p.ts) AS purchase_ms,
+       CAST(ROUND(p.value * 100, 0) AS BIGINT) AS purchase_value_x100
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_event_id, purchase_event_id
+""",
     "events_sessionized": """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
 l AS (
