@@ -904,6 +904,108 @@ def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries approximate top-k in the EXACT-PARITY regime: top-3
+    event types per user with n_counters far above the 5 distinct types,
+    so no slice ever truncates, every estimate equals the exact count and
+    err_bound is 0 — making the SQL count + row_number recount a full
+    value-hash oracle (same split as cms_frequency_gate vs
+    cms_cu_collision).  Ties broken by item ascending on both sides."""
+    from .operators.topk import approx_topk
+
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = approx_topk(ev, "event_type", k=3, n_counters=64, group_col="user_id")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("item").alias("event_type"),
+        "est_count",
+        "err_bound",
+    ).orderBy("user_id", F.col("est_count").desc(), "event_type")
+
+
+# events.user_id at sf0.01: 150 distinct users over 10,000 events, so with
+# TOPK_M = 128 every ~2,500-event slice sees more distinct users than
+# counters and must truncate (the approximation regime is engaged), while
+# 19 users exceed the N/(m+1) heavy threshold — a non-vacuous completeness
+# set.  4 fixed slices keep "every slice truncates" true regardless of the
+# session's parallelism.
+TOPK_M = 128
+TOPK_SLICES = 4
+
+
+def q_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-k in the TRUNCATION regime, pinned by its published
+    invariants (Agarwal et al., Mergeable Summaries, PODS 2012):
+
+      underest_ok      — est_count <= exact for every summary entry
+      bound_ok         — exact - est_count <= err_bound (<= N/(m+1))
+      heavy_all_found  — every user with exact*(m+1) > N is in the summary
+      approx_engaged   — est < exact somewhere (truncation actually
+                         happened; with 150 distinct users per ~2,500-event
+                         slice vs m=128 this holds under any partitioning
+                         the driver gate runs)
+
+    n_values / n_distinct / n_heavy / n_out are exact, SQL-recomputable."""
+    from .operators.topk import approx_topk
+
+    k, m = 10, TOPK_M
+    ev = read_table(spark, sf_dir, "events").repartition(TOPK_SLICES)
+    summ = approx_topk(ev, "user_id", k=None, n_counters=m).alias("s")
+    exact = (
+        ev.groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count("*").alias("exact"))
+        .alias("e")
+    )
+    n_values = ev.count()
+    j = summ.withColumn("item", F.col("item").cast("string")).join(
+        exact, "item", "full"
+    )
+    row = j.agg(
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("exact") * (m + 1) > n_values, 1).otherwise(0)).alias(
+            "n_heavy"
+        ),
+        F.min(
+            F.when(F.col("est_count").isNull(), True).otherwise(
+                F.col("est_count") <= F.col("exact")
+            )
+        ).alias("underest_ok"),
+        F.min(
+            F.when(F.col("est_count").isNull(), True).otherwise(
+                F.col("exact") - F.col("est_count") <= F.col("err_bound")
+            )
+        ).alias("bound_ok"),
+        F.min(
+            F.when(
+                F.col("exact") * (m + 1) > n_values, F.col("est_count").isNotNull()
+            ).otherwise(True)
+        ).alias("heavy_all_found"),
+        F.max(
+            F.col("est_count").isNotNull() & (F.col("est_count") < F.col("exact"))
+        ).alias("approx_engaged"),
+    ).first()
+    topk_rows = summ.orderBy(F.col("est_count").desc(), "item").limit(k).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_values,
+                row.n_distinct,
+                int(row.n_heavy),
+                int(topk_rows),
+                bool(row.underest_ok),
+                bool(row.bound_ok),
+                bool(row.heavy_all_found),
+                bool(row.approx_engaged),
+            )
+        ],
+        schema="n_values: long, n_distinct: long, n_heavy: long, n_out: long, "
+        "underest_ok: boolean, bound_ok: boolean, heavy_all_found: boolean, "
+        "approx_engaged: boolean",
+    )
+
+
 QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
@@ -942,6 +1044,8 @@ QUERIES = {
     "tdigest_event_value": q_tdigest_event_value,
     "bloom_semijoin": q_bloom_semijoin,
     "cms_frequency_gate": q_cms_frequency_gate,
+    "topk_event_types_per_user": q_topk_event_types_per_user,
+    "topk_heavy_users": q_topk_heavy_users,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1421,6 +1525,41 @@ SELECT CAST(10 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_results,
 """,
     "embedding_neardup_lsh": """
 SELECT CAST(0 AS BIGINT) AS n_false_pairs, TRUE AS found_any
+""",
+    # exact-parity regime: n_counters >> 5 distinct event types, so the
+    # Misra-Gries summary never truncates and est_count == exact count —
+    # a full value-hash oracle (ties broken by event_type asc on both sides)
+    "topk_event_types_per_user": """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS est_count
+  FROM events GROUP BY user_id, event_type
+),
+rk AS (
+  SELECT user_id, event_type, est_count,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY est_count DESC, event_type ASC
+         ) AS r
+  FROM cnt
+)
+SELECT user_id, event_type, est_count, CAST(0 AS BIGINT) AS err_bound
+FROM rk WHERE r <= 3
+ORDER BY user_id, est_count DESC, event_type
+""",
+    # truncation regime: invariant booleans (never-overcount, error bound,
+    # heavy completeness, approximation engaged) pinned TRUE; the counts are
+    # exact recomputations.  n_out = least(k, summary size) = k here because
+    # the 19 guaranteed-present heavy users already exceed k = 10.
+    "topk_heavy_users": f"""
+WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT (SELECT n FROM tot) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c * {TOPK_M + 1} > (SELECT n FROM tot)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       CAST(least(10, count(*)) AS BIGINT) AS n_out,
+       TRUE AS underest_ok, TRUE AS bound_ok,
+       TRUE AS heavy_all_found, TRUE AS approx_engaged
+FROM cnt
 """,
     "ntok_stats": """
 WITH n AS (
