@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .config import HyperSketchConfig
 from .operators.motif import enriched_configurations, motif_counts, motif_summary
+from .sketches.kmv import hash_sql as _kmv_hash_sql
 from .sources.tables import read_table, tokenized_sequences
 
 
@@ -1006,6 +1007,103 @@ def q_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV bottom-k sketch params: k=256 over ~1300 distinct custkeys per
+# priority engages the ESTIMATION regime (sketch full, est = (k-1)*P div
+# h_k); k=16 over 6-31 distinct tokens per document engages truncation for
+# the Jaccard estimator while keeping the per-pair union windows cheap.
+KMV_K = 256
+KMV_JACCARD_K = 16
+
+
+def q_kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch with a FULL value-hash oracle — unlike
+    HLL, the ESTIMATE itself is SQL-recomputable: the sketch hash is two
+    quadratic permutation rounds mod 2^31-1 (pure int64 Catalyst arithmetic,
+    sketches/kmv.py) and the estimator is integer division, so DuckDB
+    reproduces n_kept, kth_hash and est_distinct bit-for-bit.  within_3rse
+    is the published bound |est/exact - 1| <= 3/sqrt(k-1) checked in
+    all-integer form (est-exact)^2 * (k-1) <= 9 * exact^2."""
+    from .operators.cardinality import kmv_distinct
+
+    k = KMV_K
+    orders = read_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    est = kmv_distinct(orders, "o_custkey", group_col="o_orderpriority", k=k)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    d = F.col("est_distinct") - F.col("n_exact")
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "kth_hash",
+            F.col("est_distinct").cast("long").alias("est_distinct"),
+            "n_exact",
+            (d * d * (k - 1) <= 9 * F.col("n_exact") * F.col("n_exact")).alias(
+                "within_3rse"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-set Jaccard similarity estimated from KMV sketches
+    (Beyer et al. 2007: est_J = |bottom_k(A∪B) ∩ A_k ∩ B_k| / k_used),
+    blocked to same-source pairs — all-pairs comparison without a blocking
+    key is the anti-pattern the LSH operators exist to avoid.  Estimator
+    outputs are integers (n_common, k_used) and the hash is SQL-exact, so
+    the approximate values carry a full value-hash oracle next to the exact
+    intersection/union companions."""
+    from .operators.cardinality import kmv_jaccard_pairs, kmv_sketch_per_group
+
+    k = KMV_JACCARD_K
+    seq = _seq(spark, sf_dir)
+    sk = (
+        kmv_sketch_per_group(seq, "tokens", group_col="doc_id", k=k)
+        .select(F.col("group").cast("long").alias("group"), "hashes")
+        .join(seq.select(F.col("doc_id").alias("group"), "source"), "group")
+    )
+    pairs = kmv_jaccard_pairs(sk, k=k, same_block_col="source")
+    dt = seq.select("doc_id", F.explode("tokens").alias("tok")).distinct()
+    nd = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    docsrc = seq.select("doc_id", "source")
+    e1 = dt.join(docsrc, "doc_id").select(
+        F.col("doc_id").alias("d1"), "tok", "source"
+    )
+    e2 = dt.join(docsrc, "doc_id").select(
+        F.col("doc_id").alias("d2"), "tok", "source"
+    )
+    inter = (
+        e1.join(e2, ["tok", "source"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        pairs.withColumnRenamed("group_1", "d1")
+        .withColumnRenamed("group_2", "d2")
+        .join(inter, ["d1", "d2"], "left")
+        .join(nd.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(nd.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "source",
+            F.col("d1").alias("doc_1"),
+            F.col("d2").alias("doc_2"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("k_used").cast("long").alias("k_used"),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            (F.col("n1") + F.col("n2") - F.coalesce("exact_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+        )
+        .orderBy("source", "doc_1", "doc_2")
+    )
+
+
 QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
@@ -1046,6 +1144,8 @@ QUERIES = {
     "cms_frequency_gate": q_cms_frequency_gate,
     "topk_event_types_per_user": q_topk_event_types_per_user,
     "topk_heavy_users": q_topk_heavy_users,
+    "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
+    "kmv_doc_jaccard": q_kmv_doc_jaccard,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1573,6 +1673,93 @@ SELECT source,
        min(n_tok) AS min_tok,
        max(n_tok) AS max_tok
 FROM n GROUP BY source ORDER BY source
+""",
+    # FULL exact oracles for the KMV sketch: the hash (two quadratic
+    # permutation rounds mod 2^31-1, sketches/kmv.py hash_sql) and the
+    # integer estimator run verbatim in DuckDB, so even the approximate
+    # estimates hash-match bit-for-bit.
+    "kmv_distinct_custkeys": f"""
+WITH hd AS (
+  SELECT DISTINCT o_orderpriority AS grp, {_kmv_hash_sql('o_custkey')} AS h
+  FROM orders
+),
+rk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hd
+),
+sk AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+  FROM rk WHERE rn <= {KMV_K} GROUP BY grp
+),
+ex AS (
+  SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY grp
+),
+est AS (
+  SELECT grp, n_kept, kth_hash,
+         CASE WHEN n_kept < {KMV_K} THEN n_kept
+              ELSE ({(KMV_K - 1) * 2147483647}) // kth_hash END AS est_distinct
+  FROM sk
+)
+SELECT est.grp AS o_orderpriority, n_kept, kth_hash, est_distinct, n_exact,
+       (est_distinct - n_exact) * (est_distinct - n_exact) * {KMV_K - 1}
+         <= 9 * n_exact * n_exact AS within_3rse
+FROM est JOIN ex ON est.grp = ex.grp
+ORDER BY o_orderpriority
+""",
+    "kmv_doc_jaccard": f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+hd AS (SELECT DISTINCT doc_id, {_kmv_hash_sql('tok')} AS h FROM dt),
+rk AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM hd
+),
+sk AS (SELECT doc_id, h FROM rk WHERE rn <= {KMV_JACCARD_K}),
+pd_ AS (
+  SELECT s.doc_id, d.source
+  FROM (SELECT DISTINCT doc_id FROM sk) s
+  JOIN documents d ON d.doc_id = s.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.source
+  FROM pd_ a JOIN pd_ b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+ukh AS (
+  SELECT p.d1, p.d2, s.h
+  FROM pairs p JOIN sk s ON s.doc_id = p.d1 OR s.doc_id = p.d2
+  GROUP BY p.d1, p.d2, s.h
+),
+uk AS (
+  SELECT d1, d2, h, row_number() OVER (PARTITION BY d1, d2 ORDER BY h) AS rn
+  FROM ukh
+),
+ukk AS (SELECT d1, d2, h FROM uk WHERE rn <= {KMV_JACCARD_K}),
+ku AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS k_used FROM ukk GROUP BY d1, d2),
+nc AS (
+  SELECT u.d1, u.d2, CAST(count(*) AS BIGINT) AS n_common
+  FROM ukk u
+  JOIN sk sa ON sa.doc_id = u.d1 AND sa.h = u.h
+  JOIN sk sb ON sb.doc_id = u.d2 AND sb.h = u.h
+  GROUP BY u.d1, u.d2
+),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY doc_id),
+ei AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.source, p.d1 AS doc_1, p.d2 AS doc_2,
+       coalesce(nc.n_common, 0) AS n_common,
+       ku.k_used,
+       coalesce(ei.exact_inter, 0) AS exact_inter,
+       na.n + nb.n - coalesce(ei.exact_inter, 0) AS exact_union
+FROM pairs p
+JOIN ku ON ku.d1 = p.d1 AND ku.d2 = p.d2
+LEFT JOIN nc ON nc.d1 = p.d1 AND nc.d2 = p.d2
+LEFT JOIN ei ON ei.d1 = p.d1 AND ei.d2 = p.d2
+JOIN nd na ON na.doc_id = p.d1
+JOIN nd nb ON nb.doc_id = p.d2
+ORDER BY p.source, doc_1, doc_2
 """,
 }
 

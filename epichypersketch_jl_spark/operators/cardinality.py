@@ -237,6 +237,158 @@ def hll_distinct(
     )
 
 
+def kmv_sketch_per_group(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k distinct-hash (KMV) sketch per group: returns
+    (group: string, hashes: array<long> sorted ascending, length <= k).
+
+    Plan shape (design-for-100-TB):
+      1. the hash is PURE CATALYST integer arithmetic (sketches/kmv.py
+         hash_sql — same expression the DuckDB oracle runs), so the only
+         Python stage is the partial reduction;
+      2. one mapInArrow pass emits at most k rows per (task, group) —
+         shuffle volume is tasks * k per group, independent of input size
+         (the same bounded-partial-aggregate shape as approx_topk);
+      3. the final bottom-k over those candidates is Catalyst again
+         (distinct + window row_number), trivially small by construction.
+    """
+    import pyarrow.compute as pc
+
+    from pyspark.sql import Window
+
+    from ..sketches.kmv import hash_sql
+
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+    gexpr = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("None"))
+        if group_col is not None
+        else F.lit("__all__")
+    )
+    v = F.explode(value_col) if is_list else F.col(value_col)
+    src = df.select(gexpr.alias("group"), v.alias("v")).select(
+        "group", F.expr(hash_sql("v")).alias("h")
+    )
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        key_chunks: list[np.ndarray] = []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+            denc = pc.dictionary_encode(batch.column("group"))
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            remap = np.empty(len(denc.dictionary), dtype=np.int64)
+            for bi, name in enumerate(denc.dictionary.to_pylist()):
+                name = str(name)
+                tid = tid_of.get(name)
+                if tid is None:
+                    tid = tid_of[name] = len(names)
+                    names.append(name)
+                remap[bi] = tid
+            # group id in the high bits, hash (< 2^31) in the low bits:
+            # one sort dedups AND orders every group's hashes ascending
+            key_chunks.append((remap[codes] << np.int64(31)) | h)
+        if not key_chunks:
+            return
+        ku = np.unique(np.concatenate(key_chunks))
+        gu, hu = ku >> np.int64(31), ku & np.int64((1 << 31) - 1)
+        starts = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
+        ends = np.concatenate((starts[1:], [len(gu)]))
+        out_g: list[str] = []
+        out_h: list[int] = []
+        for s, e in zip(starts, ends):
+            e = min(e, s + k)  # bottom-k: hashes already ascending per group
+            out_g.extend([names[gu[s]]] * (e - s))
+            out_h.extend(hu[s:e].tolist())
+        yield pa.RecordBatch.from_pydict(
+            {"group": out_g, "h": out_h},
+            schema=pa.schema([("group", pa.string()), ("h", pa.int64())]),
+        )
+
+    cand = src.mapInArrow(partial, "group string, h long").dropDuplicates(
+        ["group", "h"]
+    )
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("group")
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Approximate distinct count per group via the KMV bottom-k sketch.
+
+    Returns (group, n_kept, kth_hash, est_distinct) with the INTEGER-exact
+    estimator est = (k-1)*P div kth_hash when full, else n_kept — every
+    output column is exactly recomputable in ANSI SQL, so unlike HLL this
+    approximate sketch carries a full value-hash oracle."""
+    from ..sketches.kmv import P
+
+    sk = kmv_sketch_per_group(df, value_col, group_col=group_col, k=k)
+    out = sk.select(
+        "group",
+        F.size("hashes").alias("n_kept"),
+        F.element_at("hashes", -1).alias("kth_hash"),
+    ).select(
+        "group",
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.expr(f"{(k - 1) * P} div kth_hash"))
+        .alias("est_distinct"),
+    )
+    if group_col is not None:
+        return out.withColumnRenamed("group", group_col)
+    return out.drop("group")
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame, *, k: int, same_block_col: str | None = None
+) -> DataFrame:
+    """Pairwise Jaccard estimates between KMV sketches (Beyer et al. 2007):
+    est_J = |bottom_k(A ∪ B) ∩ A_k ∩ B_k| / k_used, emitted as the integer
+    pair (n_common, k_used).  Input is kmv_sketch_per_group output; pairs
+    are restricted to the same `same_block_col` value when given (all-pairs
+    comparison is the anti-pattern the LSH operators exist to avoid — at
+    scale, always block first).  Pure Catalyst: the sketch arrays join and
+    intersect JVM-side, no Python."""
+    cols = ["group", "hashes"] + ([same_block_col] if same_block_col else [])
+    a = sketches.select(*cols).alias("a")
+    b = sketches.select(*cols).alias("b")
+    cond = F.col("a.group") < F.col("b.group")
+    if same_block_col:
+        cond = cond & (F.col(f"a.{same_block_col}") == F.col(f"b.{same_block_col}"))
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("a.hashes"), F.col("b.hashes"))), 1, k
+    )
+    inter = F.array_intersect(F.col("a.hashes"), F.col("b.hashes"))
+    out_cols = (
+        [F.col(f"a.{same_block_col}").alias(same_block_col)] if same_block_col else []
+    )
+    out_cols += [
+        F.col("a.group").alias("group_1"),
+        F.col("b.group").alias("group_2"),
+        F.size(F.array_intersect(union_k, inter)).alias("n_common"),
+        F.size(union_k).alias("k_used"),
+    ]
+    return a.join(b, cond).select(*out_cols)
+
+
 def build_bloom(
     df: DataFrame,
     value_col: str,

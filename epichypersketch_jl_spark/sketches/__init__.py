@@ -3,6 +3,7 @@ from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .bloom import BloomFilter
 from .kll import KLL
+from .kmv import KMV
 from .tdigest import TDigest
 
 __all__ = [
@@ -12,5 +13,6 @@ __all__ = [
     "HyperLogLog",
     "BloomFilter",
     "KLL",
+    "KMV",
     "TDigest",
 ]

@@ -331,3 +331,52 @@ class TestClusterResolution:
         # exactly one keeper per cluster, the min id
         keepers = out[out["is_keeper"]].index.tolist()
         assert set(keepers) == {0, 1, 4, 5, 6, 7, 8}
+
+
+class TestKMVOperator:
+    def test_partition_invariance_and_numpy_parity(self, spark, sf_dir):
+        """kmv_sketch_per_group must emit the same sketch at any
+        parallelism (bottom-k of union == bottom-k of whole), and match
+        the pure-numpy KMV bit-for-bit."""
+        import numpy as np
+
+        from epichypersketch_jl_spark.operators.cardinality import (
+            kmv_sketch_per_group,
+        )
+        from epichypersketch_jl_spark.sketches.kmv import KMV
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ref = None
+        for parts in (1, 8):
+            got = {
+                r.group: list(r.hashes)
+                for r in kmv_sketch_per_group(
+                    orders.repartition(parts),
+                    "o_custkey",
+                    group_col="o_orderpriority",
+                    k=64,
+                ).collect()
+            }
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref
+        pdf = orders.select("o_orderpriority", "o_custkey").toPandas()
+        for g, sub in pdf.groupby("o_orderpriority"):
+            sk = KMV(k=64)
+            sk.update_raw(sub.o_custkey.values.astype(np.int64))
+            assert list(sk.values) == ref[g]
+
+    def test_jaccard_pairs_identical_groups(self, spark):
+        """Two groups with identical value sets estimate J = 1 exactly."""
+        from epichypersketch_jl_spark.operators.cardinality import (
+            kmv_jaccard_pairs,
+            kmv_sketch_per_group,
+        )
+
+        rows = [(g, v) for g in ("a", "b") for v in range(200)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = kmv_sketch_per_group(df, "v", group_col="g", k=32)
+        out = kmv_jaccard_pairs(sk, k=32).collect()
+        assert len(out) == 1
+        assert out[0].n_common == out[0].k_used == 32

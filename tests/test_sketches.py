@@ -272,3 +272,83 @@ class TestTDigest:
         r = from_bytes(m.to_bytes())
         assert float(r.quantile(0.5)[0]) == pytest.approx(med)
         assert len(m.means) <= 2 * m.compression
+
+
+# --------------------------------------------------------------------- KMV
+class TestKMV:
+    def test_estimate_regimes(self):
+        from epichypersketch_jl_spark.sketches.kmv import KMV
+
+        # below k: exact count of distinct hashes
+        sk = KMV(k=512)
+        sk.update_raw(np.arange(100))
+        sk.update_raw(np.arange(100))  # idempotent on duplicates
+        assert sk.estimate() == 100
+        # above k: (k-1)*P div h_k within 3/sqrt(k-1) relative error
+        for n in (2_000, 50_000):
+            sk = KMV(k=512)
+            sk.update_raw(np.arange(n))
+            assert abs(sk.estimate() - n) <= 3 * n / np.sqrt(511)
+
+    def test_merge_algebra_and_partition_invariance(self):
+        from epichypersketch_jl_spark.sketches.kmv import KMV
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 1 << 30, size=30_000)
+        whole = KMV(k=256)
+        whole.update_raw(vals)
+        for parts in (2, 7, 64):
+            merged = KMV(k=256)
+            for chunk in np.array_split(vals, parts):
+                part = KMV(k=256)
+                part.update_raw(chunk)
+                merged = merged.merge(part)
+            assert merged == whole  # bottom-k of union == bottom-k of whole
+        a, b = KMV(k=256), KMV(k=256)
+        a.update_raw(vals[:9_000])
+        b.update_raw(vals[9_000:])
+        assert a.merge(b) == b.merge(a)
+
+    def test_jaccard_estimator(self):
+        from epichypersketch_jl_spark.sketches.kmv import KMV, kmv_hash
+
+        rng = np.random.default_rng(11)
+        a_vals = rng.choice(1 << 25, size=5_000, replace=False)
+        b_vals = np.concatenate([a_vals[:2_500], a_vals[-1:] + 1 + np.arange(2_500)])
+        a, b = KMV(k=256), KMV(k=256)
+        a.update_raw(a_vals)
+        b.update_raw(b_vals)
+        n_common, k_used = a.jaccard(b)
+        true_j = 2_500 / 7_500
+        assert abs(n_common / k_used - true_j) <= 3 * np.sqrt(true_j * (1 - true_j) / 256) + 0.02
+
+    def test_hash_matches_duckdb(self):
+        import duckdb
+
+        from epichypersketch_jl_spark.sketches.kmv import hash_sql, kmv_hash
+
+        xs = np.array([0, 1, 2, 31, 2**31 - 1, 2**40, 7_777_777], dtype=np.int64)
+        got = kmv_hash(xs)
+        sql = "SELECT " + hash_sql("x") + " FROM t ORDER BY rowid"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS x", [xs.tolist()])
+        want = np.array([r[0] for r in con.execute(sql).fetchall()])
+        assert np.array_equal(got, want)
+
+    def test_roundtrip_and_guards(self):
+        from epichypersketch_jl_spark.sketches.kmv import KMV
+
+        sk = KMV(k=64)
+        sk.update_raw(np.arange(1_000))
+        back = from_bytes(sk.to_bytes())
+        assert back == sk and back.estimate() == sk.estimate()
+        empty = from_bytes(KMV(k=64).to_bytes())
+        assert empty.estimate() == 0
+        with pytest.raises(MergeError):
+            sk.merge(KMV(k=32))
+        with pytest.raises(ValueError):
+            KMV(k=1)
+        blob = bytearray(sk.to_bytes())
+        blob[16:24] = (99999).to_bytes(8, "little")  # k header corrupt vs n
+        with pytest.raises(ValueError):
+            from_bytes(bytes(blob[:40]))
