@@ -1007,6 +1007,39 @@ def q_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch as-of join (operators/asof.py): each purchase matched to the
+    single most recent view of the same user at-or-before it, within a
+    2-hour tolerance — the temporal feature-lookup/attribution primitive.
+    Union + running-window plan: one shuffle, no range-join explosion.
+    Tie semantics pinned on both sides: best ts, then greatest event_id."""
+    from .operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        tolerance="INTERVAL 2 HOURS",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.unix_millis(F.col("ts_asof").cast("timestamp")).alias("view_ts_ms"),
+        F.col("value_asof").alias("view_value"),
+    ).orderBy("event_id")
+
+
 # KMV bottom-k sketch params: k=256 over ~1300 distinct custkeys per
 # priority engages the ESTIMATION regime (sketch full, est = (k-1)*P div
 # h_k); k=16 over 6-31 distinct tokens per document engages truncation for
@@ -1146,6 +1179,7 @@ QUERIES = {
     "topk_heavy_users": q_topk_heavy_users,
     "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
     "kmv_doc_jaccard": q_kmv_doc_jaccard,
+    "events_asof_join": q_events_asof_join,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1673,6 +1707,23 @@ SELECT source,
        min(n_tok) AS min_tok,
        max(n_tok) AS max_tok
 FROM n GROUP BY source ORDER BY source
+""",
+    "events_asof_join": """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.event_id, v.event_id AS view_event_id, v.ts AS view_ts,
+         v.value AS view_value,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id
+       AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+)
+SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
+       epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
+ORDER BY p.event_id
 """,
     # FULL exact oracles for the KMV sketch: the hash (two quadratic
     # permutation rounds mod 2^31-1, sketches/kmv.py hash_sql) and the

@@ -380,3 +380,83 @@ class TestKMVOperator:
         out = kmv_jaccard_pairs(sk, k=32).collect()
         assert len(out) == 1
         assert out[0].n_common == out[0].k_used == 32
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+            "k long, t long, name string",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 10, 1.0), (1, 100, 11, 2.0), (1, 200, 12, 3.0),
+             (2, 49, 13, 4.0), (2, 51, 14, 5.0)],
+            "k long, t long, rid long, v double",
+        )
+        return left, right
+
+    def test_semantics_ties_and_missing(self, spark):
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r.name: (r.rid_asof, r.t_asof, r.v_asof)
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                right_cols=["v"], tiebreak="rid",
+            ).collect()
+        }
+        assert out["a"] == (11, 100, 2.0)  # inclusive + max-tiebreak among ties
+        assert out["b"] == (12, 200, 3.0)  # latest at-or-before
+        assert out["c"] == (13, 49, 4.0)   # strictly-later right row ignored
+        assert out["d"] == (None, None, None)  # no match -> row kept, nulls
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r.name: r.rid_asof
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                right_cols=["v"], tiebreak="rid", tolerance=F.lit(4),
+            ).collect()
+        }
+        # 'b' at t=205: latest match t=200 within 5 > tolerance 4 -> nulled
+        assert out["a"] == 11 and out["b"] is None and out["c"] == 13
+
+    def test_partition_invariance(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        p = ev.filter(F.col("event_type") == "purchase")
+        v = ev.filter(F.col("event_type") == "view")
+        ref = None
+        for parts in (1, 16):
+            got = sorted(
+                (r.event_id, r.event_id_asof)
+                for r in asof_join(
+                    p.repartition(parts), v.repartition(parts),
+                    on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["value"], tiebreak="event_id",
+                ).collect()
+            )
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref
+
+    def test_missing_column_raises(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        with _pytest.raises(InputError):
+            asof_join(left, right, on="k", left_ts="t", right_ts="nope",
+                      right_cols=["v"], tiebreak="rid")
