@@ -1007,6 +1007,36 @@ def q_topk_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query bag: two corpus-common terms + one rare term ('dup', df~25 of
+# 500) so idf spread is non-trivial.  Scores are emitted in 1e-9 fixed
+# point; the Spark expression tree and the SQL mirror evaluate the same
+# IEEE-754 operations in the same order (double literals forced via
+# e-notation in DuckDB, which otherwise parses decimals as DECIMAL).
+BM25_TERMS = ["hash", "join", "dup"]
+
+
+def q_bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (operators/text_analysis.bm25_scores):
+    corpus stats fold into the scoring expression as literals (no join),
+    one codegen pass scores every doc.  Full value-hash oracle — the
+    floating score is reproduced bit-for-bit in DuckDB and compared in
+    1e-9 fixed point."""
+    from .operators.text_analysis import bm25_scores
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = bm25_scores(docs, BM25_TERMS, k1=1.2, b=0.75)
+    return out.select(
+        "doc_id",
+        "dl",
+        "tf_0",
+        "tf_1",
+        "tf_2",
+        F.floor(F.col("score") * F.lit(1000000000.0)).alias("score_fp"),
+    ).orderBy("doc_id")
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch as-of join (operators/asof.py): each purchase matched to the
     single most recent view of the same user at-or-before it, within a
@@ -1180,6 +1210,7 @@ QUERIES = {
     "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
     "kmv_doc_jaccard": q_kmv_doc_jaccard,
     "events_asof_join": q_events_asof_join,
+    "bm25_doc_scores": q_bm25_doc_scores,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1707,6 +1738,39 @@ SELECT source,
        min(n_tok) AS min_tok,
        max(n_tok) AS max_tok
 FROM n GROUP BY source ORDER BY source
+""",
+    # BM25: same IEEE-754 expression tree as bm25_scores — double literals
+    # via e-notation (bare decimals are DECIMAL in DuckDB), same
+    # left-associative sum order, idf via ln (both engines call libm).
+    "bm25_doc_scores": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT count(*) AS n, sum(len(ws)) AS tot,
+         sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN list_contains(ws, 'dup')  THEN 1 ELSE 0 END) AS df2
+  FROM d
+),
+sc AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         CAST(len(list_filter(ws, x -> x = 'hash')) AS BIGINT) AS tf_0,
+         CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf_1,
+         CAST(len(list_filter(ws, x -> x = 'dup'))  AS BIGINT) AS tf_2
+  FROM d
+)
+SELECT doc_id, dl, tf_0, tf_1, tf_2,
+  CAST(floor((0.0e0
+    + (ln((n - df0 + 0.5e0) / (df0 + 0.5e0) + 1.0e0) * (tf_0 * 2.2e0))
+      / (tf_0 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (tot / n)))
+    + (ln((n - df1 + 0.5e0) / (df1 + 0.5e0) + 1.0e0) * (tf_1 * 2.2e0))
+      / (tf_1 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (tot / n)))
+    + (ln((n - df2 + 0.5e0) / (df2 + 0.5e0) + 1.0e0) * (tf_2 * 2.2e0))
+      / (tf_2 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (tot / n)))
+  ) * 1000000000.0e0) AS BIGINT) AS score_fp
+FROM sc, st ORDER BY doc_id
 """,
     "events_asof_join": """
 WITH v AS (SELECT * FROM events WHERE event_type = 'view'),

@@ -91,6 +91,66 @@ def lang_id_heuristic(
     return scored.withColumn("predicted_lang", pred)
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms
+    (Robertson & Zaragoza 2009): score = Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1−b + b·dl/avgdl)), idf_t = ln((N−df_t+0.5)/(df_t+0.5)+1).
+
+    Returns (id, dl, tf_0..tf_{m-1}, score).  Two-scan plan, zero joins:
+    the first aggregate reduces the corpus to |query_terms|+2 numbers
+    (N, Σdl, per-term document frequency) collected once and folded into
+    the scoring expression as LITERALS — the broadcast-the-small-side
+    discipline without even a broadcast — and the second pass scores every
+    document in one whole-stage-codegen projection.  The expression tree
+    (literal values and operation order) is written to be reproducible
+    verbatim in ANSI SQL, so the driver oracle can recompute the floating
+    score bit-for-bit.
+    """
+    import math
+
+    from ..errors import InputError
+
+    if not query_terms:
+        raise InputError("bm25_scores needs at least one query term")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words.alias("ws")
+    )
+    aggs = [F.count("*").alias("n_docs"), F.sum(F.size("ws")).alias("total_len")]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.array_contains("ws", F.lit(t)).cast("long")).alias(f"df{i}")
+        )
+    stats = base.agg(*aggs).first()
+    if not stats.n_docs:
+        raise InputError("bm25_scores over an empty corpus")
+    n, avgdl = stats.n_docs, stats.total_len / stats.n_docs
+    dl = F.size("ws")
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    cols = [F.col(id_col), dl.cast("long").alias("dl")]
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        # lambda-free term frequency: several higher-order-function lambdas
+        # in one projection miscompile their element comparisons (the
+        # second lambda's variable resolves against the first's type), so
+        # count occurrences by set difference instead
+        tf = F.size("ws") - F.size(F.array_remove("ws", t))
+        cols.append(tf.cast("long").alias(f"tf_{i}"))
+        idf = math.log((n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)
+        score = score + (F.lit(idf) * (tf * F.lit(k1p1))) / (
+            tf + F.lit(k1) * (F.lit(one_minus_b) + (F.lit(b) * dl) / F.lit(avgdl))
+        )
+    return base.select(*cols, score.alias("score"))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp_md5, fp_sorted_md5): exact content fingerprint and a
     word-order-insensitive variant (md5 of sorted words)."""

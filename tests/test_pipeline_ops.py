@@ -460,3 +460,41 @@ class TestAsofJoin:
         with _pytest.raises(InputError):
             asof_join(left, right, on="k", left_ts="t", right_ts="nope",
                       right_cols=["v"], tiebreak="rid")
+
+
+class TestBM25:
+    def test_scores_match_reference_formula(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.text_analysis import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "a c c"), (2, "d d d d"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in bm25_scores(docs, ["a", "c"]).collect()}
+        assert set(out) == {0, 1, 2}  # NULL text excluded
+        n, avgdl = 3, 10 / 3
+        k1, b = 1.2, 0.75
+        idf_a = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+        idf_c = math.log((n - 1 + 0.5) / (1 + 0.5) + 1.0)
+
+        def ref(tf, idf, dl):
+            return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert out[0].tf_0 == 2 and out[0].tf_1 == 0
+        assert abs(out[0].score - ref(2, idf_a, 3)) < 1e-12
+        assert abs(out[1].score - (ref(1, idf_a, 3) + ref(2, idf_c, 3))) < 1e-12
+        assert out[2].score == 0.0
+        # the rarer term outweighs the common one at equal tf
+        assert ref(1, idf_c, 3) > ref(1, idf_a, 3)
+
+    def test_empty_terms_raise(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.text_analysis import bm25_scores
+
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with _pytest.raises(InputError):
+            bm25_scores(docs, [])
