@@ -251,15 +251,15 @@ def kmv_sketch_per_group(
       1. the hash is PURE CATALYST integer arithmetic (sketches/kmv.py
          hash_sql — same expression the DuckDB oracle runs), so the only
          Python stage is the partial reduction;
-      2. one mapInArrow pass emits at most k rows per (task, group) —
-         shuffle volume is tasks * k per group, independent of input size
-         (the same bounded-partial-aggregate shape as approx_topk);
-      3. the final bottom-k over those candidates is Catalyst again
-         (distinct + window row_number), trivially small by construction.
+      2. one mapInArrow pass emits ONE row per (task, group) carrying that
+         task's bottom-k as an array — shuffle volume is tasks rows * k
+         values per group, independent of input size;
+      3. the merge is a single Catalyst aggregate:
+         slice(array_sort(array_distinct(flatten(collect_list(...)))), k)
+         — collect_list partial-aggregates map-side, so this is ONE
+         shuffle end to end.
     """
     import pyarrow.compute as pc
-
-    from pyspark.sql import Window
 
     from ..sketches.kmv import hash_sql
 
@@ -301,26 +301,26 @@ def kmv_sketch_per_group(
         gu, hu = ku >> np.int64(31), ku & np.int64((1 << 31) - 1)
         starts = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
         ends = np.concatenate((starts[1:], [len(gu)]))
-        out_g: list[str] = []
-        out_h: list[int] = []
-        for s, e in zip(starts, ends):
-            e = min(e, s + k)  # bottom-k: hashes already ascending per group
-            out_g.extend([names[gu[s]]] * (e - s))
-            out_h.extend(hu[s:e].tolist())
-        yield pa.RecordBatch.from_pydict(
-            {"group": out_g, "h": out_h},
-            schema=pa.schema([("group", pa.string()), ("h", pa.int64())]),
+        ends = np.minimum(ends, starts + k)  # bottom-k: ascending per group
+        keep = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.empty(0, np.int64)
+        hs_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate(([0], np.cumsum(ends - starts))), type=pa.int32()
+            ),
+            pa.array(hu[keep], type=pa.int64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([names[g] for g in gu[starts]], type=pa.string()), hs_arr],
+            schema=pa.schema([("group", pa.string()), ("hs", pa.list_(pa.int64()))]),
         )
 
-    cand = src.mapInArrow(partial, "group string, h long").dropDuplicates(
-        ["group", "h"]
-    )
-    w = Window.partitionBy("group").orderBy("h")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("group")
-        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    cand = src.mapInArrow(partial, "group string, hs array<long>")
+    return cand.groupBy("group").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
+        ).alias("hashes")
     )
 
 
