@@ -51,6 +51,15 @@ def comb_unrank_lex(L: int, k: int, ranks: np.ndarray) -> np.ndarray:
     k=4 kernel profile: the Python iterator produced ~3M tuples/s while
     everything downstream was vectorized.)
     """
+    # int64 addressability guard: the largest _binom_vec intermediate is
+    # exactly C(L,k)*k (the last multiply before its dividing step), and
+    # ranks themselves are int64 — beyond 2^62 the tables would silently
+    # wrap and every chunk would be garbage.  A space that size is also
+    # centuries of enumeration, so an explicit error is the right answer.
+    if comb(L, k) * k >= 2**62:
+        raise InputError(
+            f"C({L},{k})*{k} combination cells exceed int64 unranking range"
+        )
     ranks = np.asarray(ranks, dtype=np.int64)
     n = len(ranks)
     # int32 output: combination indices are < L, and halving the bytes

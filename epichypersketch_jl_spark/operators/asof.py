@@ -52,14 +52,18 @@ def asof_join(
     left_ts - tolerance is discarded (the row still survives, unmatched).
     """
     on = [on] if isinstance(on, str) else list(on)
-    for c in on + [right_ts, tiebreak]:
+    for c in on + [right_ts, tiebreak, *right_cols]:
         if c not in right.columns:
             raise InputError(f"asof_join: right side lacks column {c!r}")
     if left_ts not in left.columns:
         raise InputError(f"asof_join: left side lacks column {left_ts!r}")
     payload_cols = list(dict.fromkeys([right_ts, tiebreak] + list(right_cols)))
 
-    r = right.select(
+    # a right row with a NULL timestamp has no position on the time axis:
+    # without this filter it sorts NULLS FIRST and would match as if it
+    # preceded everything (left rows with NULL left_ts stay, sort first,
+    # find no earlier right row, and come out unmatched)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
@@ -71,7 +75,7 @@ def asof_join(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
         F.lit(None).cast(r.schema["_rrow"].dataType).alias("_rrow"),
         F.struct("*").alias("_lrow"),
     )

@@ -62,6 +62,28 @@ def _reduce_sketch(df: DataFrame, value_col: str, zero_fn, update_fn, is_list: b
     return merged if merged is not None else zero_fn()
 
 
+def _task_group_codes(
+    tid_of: dict[str, int], names: list[str], gcol: pa.Array
+) -> np.ndarray:
+    """Task-global group dictionary shared by the grouped sketch kernels:
+    dictionary-encode one batch's group column and remap the batch-local
+    codes onto the task-global id space, registering new names.  Only the
+    batch's DISTINCT names touch Python."""
+    import pyarrow.compute as pc
+
+    denc = pc.dictionary_encode(gcol)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    remap = np.empty(len(denc.dictionary), dtype=np.int64)
+    for bi, name in enumerate(denc.dictionary.to_pylist()):
+        name = str(name)
+        tid = tid_of.get(name)
+        if tid is None:
+            tid = tid_of[name] = len(names)
+            names.append(name)
+        remap[bi] = tid
+    return remap[codes]
+
+
 def _hll_grouped(
     df: DataFrame, value_col: str, group_col: str, p: int, seed: int, is_list: bool
 ) -> DataFrame:
@@ -122,18 +144,7 @@ def _hll_grouped(
             if flat.size == 0:
                 continue
             gcol = pc.fill_null(batch.column(group_col).cast(pa.string()), "None")
-            denc = gcol.dictionary_encode()
-            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            bnames = denc.dictionary.to_pylist()
-            remap = np.empty(len(bnames), dtype=np.int64)
-            for bi, name in enumerate(bnames):
-                name = str(name)
-                tid = tid_of.get(name)
-                if tid is None:
-                    tid = tid_of[name] = len(names)
-                    names.append(name)
-                remap[bi] = tid
-            tids = remap[codes]
+            tids = _task_group_codes(tid_of, names, gcol)
             vtids = np.repeat(tids, np.diff(offsets)) if is_list else tids
             idx, rank = hashes_to_sparse(hash64(flat, seed=seed), p)
             ku, rmax = _dedup_keys(vtids * m + idx, rank)
@@ -259,8 +270,6 @@ def kmv_sketch_per_group(
          — collect_list partial-aggregates map-side, so this is ONE
          shuffle end to end.
     """
-    import pyarrow.compute as pc
-
     from ..sketches.kmv import hash_sql
 
     is_list = df.schema[value_col].dataType.typeName() == "array"
@@ -270,9 +279,26 @@ def kmv_sketch_per_group(
         else F.lit("__all__")
     )
     v = F.explode(value_col) if is_list else F.col(value_col)
-    src = df.select(gexpr.alias("group"), v.alias("v")).select(
-        "group", F.expr(hash_sql("v")).alias("h")
+    # NULL values carry no distinct identity: drop them before hashing
+    # (a null hash would otherwise reach the kernel as float64 NaN)
+    src = (
+        df.select(gexpr.alias("group"), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("group", F.expr(hash_sql("v")).alias("h"))
     )
+
+    def _bottom_k(keys: np.ndarray) -> np.ndarray:
+        """Per-group bottom-k over sorted-unique packed (gid<<31 | h) keys:
+        one sort dedups AND orders every group's hashes ascending."""
+        ku = np.unique(keys)
+        gu = ku >> np.int64(31)
+        starts = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
+        ends = np.minimum(
+            np.concatenate((starts[1:], [len(gu)])), starts + k
+        )
+        if len(starts) == 0:
+            return ku
+        return ku[np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])]
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tid_of: dict[str, int] = {}
@@ -282,34 +308,21 @@ def kmv_sketch_per_group(
             if batch.num_rows == 0:
                 continue
             h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
-            denc = pc.dictionary_encode(batch.column("group"))
-            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            remap = np.empty(len(denc.dictionary), dtype=np.int64)
-            for bi, name in enumerate(denc.dictionary.to_pylist()):
-                name = str(name)
-                tid = tid_of.get(name)
-                if tid is None:
-                    tid = tid_of[name] = len(names)
-                    names.append(name)
-                remap[bi] = tid
-            # group id in the high bits, hash (< 2^31) in the low bits:
-            # one sort dedups AND orders every group's hashes ascending
-            key_chunks.append((remap[codes] << np.int64(31)) | h)
+            tids = _task_group_codes(tid_of, names, batch.column("group"))
+            # dedup + truncate PER BATCH so task memory is O(groups*k +
+            # batch), not O(task rows) — same discipline as _hll_grouped
+            key_chunks.append(_bottom_k((tids << np.int64(31)) | h))
         if not key_chunks:
             return
-        ku = np.unique(np.concatenate(key_chunks))
+        ku = _bottom_k(np.concatenate(key_chunks))
         gu, hu = ku >> np.int64(31), ku & np.int64((1 << 31) - 1)
         starts = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
         ends = np.concatenate((starts[1:], [len(gu)]))
-        ends = np.minimum(ends, starts + k)  # bottom-k: ascending per group
-        keep = np.concatenate(
-            [np.arange(s, e) for s, e in zip(starts, ends)]
-        ) if len(starts) else np.empty(0, np.int64)
         hs_arr = pa.ListArray.from_arrays(
             pa.array(
                 np.concatenate(([0], np.cumsum(ends - starts))), type=pa.int32()
             ),
-            pa.array(hu[keep], type=pa.int64()),
+            pa.array(hu, type=pa.int64()),
         )
         yield pa.RecordBatch.from_arrays(
             [pa.array([names[g] for g in gu[starts]], type=pa.string()), hs_arr],

@@ -37,20 +37,24 @@ _A1, _B1 = 1103515245, 12345
 _A2, _B2 = 69069, 362437
 
 #: The hash as a SQL expression template over an integer column {x} —
-#: valid in both Spark SQL and DuckDB (all intermediates < 2^63).
-HASH_SQL = (
-    "(((({x}) % {p}) * (({x}) % {p}) % {p} + {a1} * (({x}) % {p}) + {b1}) % {p})"
-)
-HASH_SQL_FULL = (
-    "(({y}) * ({y}) % {p} + {a2} * ({y}) + {b2}) % {p}"
-)
+#: valid in both Spark SQL and DuckDB (all intermediates < 2^63).  The
+#: input reduction is a POSITIVE mod ((x % p + p) % p): SQL's % is
+#: truncated (sign-preserving), numpy's is floored (non-negative for a
+#: positive modulus) — without the pmod, negative inputs produce negative
+#: hashes in SQL/Catalyst and break both the [0, P) range invariant and
+#: the numpy parity.  Later stages operate on non-negative values, where
+#: the two conventions agree.
+HASH_SQL = "((({xm}) * ({xm}) % {p} + {a1} * ({xm}) + {b1}) % {p})"
+HASH_SQL_FULL = "(({y}) * ({y}) % {p} + {a2} * ({y}) + {b2}) % {p}"
 
 
 def hash_sql(x: str) -> str:
     """SQL text computing kmv_hash({x}) — identical semantics in Spark SQL
-    and DuckDB; every intermediate bounded by 2^62.  The input is cast to
-    BIGINT first so 32-bit columns don't overflow in the INT lattice."""
-    y = HASH_SQL.format(x=f"CAST({x} AS BIGINT)", p=P, a1=_A1, b1=_B1)
+    and DuckDB for ANY int64 input; every intermediate bounded by 2^62.
+    The input is cast to BIGINT first so 32-bit columns don't overflow in
+    the INT lattice."""
+    xm = f"(CAST({x} AS BIGINT) % {P} + {P}) % {P}"
+    y = HASH_SQL.format(xm=xm, p=P, a1=_A1, b1=_B1)
     return HASH_SQL_FULL.format(y=y, p=P, a2=_A2, b2=_B2)
 
 

@@ -498,3 +498,93 @@ class TestBM25:
         docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(InputError):
             bm25_scores(docs, [])
+
+
+class TestReviewFixesR3:
+    def test_kmv_negative_values_match_numpy_and_sql(self, spark):
+        """SQL %% is sign-preserving; the pmod in hash_sql keeps negative
+        inputs on the numpy/[0,P) convention — groups must not bleed."""
+        import duckdb
+        import numpy as np
+
+        from epichypersketch_jl_spark.operators.cardinality import (
+            kmv_sketch_per_group,
+        )
+        from epichypersketch_jl_spark.sketches.kmv import KMV, hash_sql, kmv_hash
+
+        rows = [("g0", -5), ("g0", -1), ("g1", 10), ("g1", 20)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r.group: list(r.hashes)
+            for r in kmv_sketch_per_group(df, "v", group_col="g", k=8).collect()
+        }
+        for g, vals in [("g0", [-5, -1]), ("g1", [10, 20])]:
+            sk = KMV(k=8)
+            sk.update_raw(np.array(vals, dtype=np.int64))
+            assert got[g] == list(sk.values), g
+        xs = np.array([-(2**40), -5, -1, 0, 7], dtype=np.int64)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS x", [xs.tolist()])
+        want = np.array([r[0] for r in con.execute(
+            "SELECT " + hash_sql("x") + " FROM t ORDER BY rowid").fetchall()])
+        assert np.array_equal(kmv_hash(xs), want)
+        assert (want >= 0).all()
+
+    def test_kmv_null_values_dropped(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2), ("b", None)], "g string, v long"
+        )
+        out = {r.g: r.est_distinct for r in
+               kmv_distinct(df, "v", group_col="g", k=8).collect()}
+        assert out == {"a": 2}  # nulls carry no identity; all-null group empty
+
+    def test_asof_null_right_ts_never_matches(self, spark):
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100, "a")], "k long, t long, name string")
+        right = spark.createDataFrame([(1, None, 99, 1.0)],
+                                      "k long, t long, rid long, v double")
+        (row,) = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                           right_cols=["v"], tiebreak="rid").collect()
+        assert row.rid_asof is None and row.t_asof is None
+
+    def test_asof_timestamp_tiebreak(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+        p = ev.filter(F.col("event_type") == "purchase")
+        v = ev.filter(F.col("event_type") == "view")
+        out = asof_join(p, v, on="user_id", left_ts="ts", right_ts="ts",
+                        right_cols=["value"], tiebreak="ts")
+        assert out.count() == p.count()  # timestamp tiebreak analyzes + runs
+
+    def test_asof_missing_right_col_raises(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100, "a")], "k long, t long, name string")
+        right = spark.createDataFrame([(1, 50, 9, 1.0)],
+                                      "k long, t long, rid long, v double")
+        with _pytest.raises(InputError):
+            asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                      right_cols=["valeu"], tiebreak="rid")
+
+    def test_unrank_overflow_guard(self):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.functions.combinations import (
+            comb_unrank_lex,
+            iter_comb_chunks,
+        )
+
+        with _pytest.raises(InputError):
+            comb_unrank_lex(100_000, 4, [0])
+        with _pytest.raises(InputError):
+            next(iter(iter_comb_chunks(100_000, 4, 1_000_000)))
