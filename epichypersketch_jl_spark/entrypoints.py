@@ -863,6 +863,36 @@ def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_bound_check(spark, seq, "n_tok", qs, KLL_EPS)
 
 
+KLLG_QS = [0.1, 0.5, 0.9]
+
+
+def q_kll_ntok_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KLL quantiles (operators/quantiles.kll_quantiles_grouped):
+    per-source n_tok quantile sketches built one-per-(task, group) and
+    merged by hash-partitioned blobs — the quantile companion to the
+    grouped HLL.  Each estimate is pinned by the same two-sided tie-aware
+    rank check as the ungrouped KLL query, per group."""
+    from .operators.quantiles import kll_quantiles_grouped
+
+    seq = _seq(spark, sf_dir)
+    est = kll_quantiles_grouped(seq, "n_tok", "source", KLLG_QS, k=256, seed=42)
+    j = seq.select("source", "n_tok").join(F.broadcast(est), "source")
+    agg = j.groupBy("source", "q").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_tok") < F.col("est")).cast("long")).alias("lo"),
+        F.sum((F.col("n_tok") <= F.col("est")).cast("long")).alias("hi"),
+    )
+    return agg.select(
+        "source",
+        "q",
+        F.col("n").alias("n_docs"),
+        (
+            (F.col("lo") / F.col("n") <= F.col("q") + F.lit(KLL_EPS))
+            & (F.col("hi") / F.col("n") >= F.col("q") - F.lit(KLL_EPS))
+        ).alias("rank_error_ok"),
+    ).orderBy("source", "q")
+
+
 def q_tdigest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest rank-error bound check, same invariant as the KLL query."""
     from .operators.quantiles import tdigest_quantiles
@@ -1211,6 +1241,7 @@ QUERIES = {
     "kmv_doc_jaccard": q_kmv_doc_jaccard,
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
+    "kll_ntok_per_source": q_kll_ntok_per_source,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1672,6 +1703,13 @@ FROM w WHERE tok != '' GROUP BY source ORDER BY source
     "kll_ntok_quantiles": """
 SELECT * FROM (VALUES (0.1, TRUE), (0.5, TRUE), (0.9, TRUE), (0.99, TRUE))
   AS t(q, rank_error_ok)
+""",
+    "kll_ntok_per_source": """
+WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+qv AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.1), (0.5), (0.9)) AS t(q))
+SELECT source, q, n_docs, TRUE AS rank_error_ok
+FROM n CROSS JOIN qv ORDER BY source, q
 """,
     "tdigest_event_value": """
 SELECT * FROM (VALUES (0.01, TRUE), (0.5, TRUE), (0.99, TRUE))

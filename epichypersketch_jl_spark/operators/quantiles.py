@@ -8,6 +8,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.motif_kernels import list_column_to_numpy
 from ..sketches.base import from_bytes
@@ -39,6 +40,119 @@ def kll_quantiles(
     )
     vals = sk.quantile(np.array(quantiles))
     return {q: float(v) for q, v in zip(quantiles, vals)}
+
+
+def kll_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: list[float],
+    *,
+    k: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group KLL quantile estimates: (group: string, q: double,
+    est: double), one row per (group, quantile).
+
+    Plan shape (same distributed-merge discipline as the grouped HLL,
+    operators/cardinality._hll_grouped):
+      * map side: one KLL per (task, group); per Arrow batch the values
+        argsort by group code once and each group's slice feeds one
+        vectorized update_batch call — Python cost is per (batch, group),
+        never per row;
+      * the (task, group) blobs hash-partition by group (fixed-size KLL
+        payloads, never row data) and a second mapInArrow pass merges +
+        queries each group entirely in its partition — no driver collect.
+
+    KLL compaction is seeded but partition-count-dependent, so per-group
+    estimates carry the published rank-error bound rather than
+    partition-invariant bytes — the driver query pins them through the
+    same two-sided tie-aware rank check as the ungrouped KLL."""
+    from ..errors import InputError
+
+    if not quantiles:
+        raise InputError("kll_quantiles_grouped needs at least one quantile")
+    qs = sorted(float(q) for q in quantiles)
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+    v = F.explode(value_col) if is_list else F.col(value_col)
+    src = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("None")).alias(
+                "group"
+            ),
+            v.alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select("group", F.col("v").cast("double").alias("v"))
+    )
+    blob_schema = "group string, sketch binary"
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .cardinality import _task_group_codes
+
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        sketches: dict[int, KLL] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = batch.column("v").to_numpy(zero_copy_only=False)
+            tids = _task_group_codes(tid_of, names, batch.column("group"))
+            order = np.argsort(tids, kind="stable")
+            st, sv = tids[order], vals[order]
+            starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+            ends = np.concatenate((starts[1:], [len(st)]))
+            for s, e in zip(starts, ends):
+                tid = int(st[s])
+                sk = sketches.get(tid)
+                if sk is None:
+                    sk = sketches[tid] = KLL(k=k, seed=seed)
+                sk.update_batch(sv[s:e])
+        if not sketches:
+            return
+        yield pa.RecordBatch.from_pydict(
+            {
+                "group": [names[t] for t in sketches],
+                "sketch": [sk.to_bytes() for sk in sketches.values()],
+            },
+            schema=pa.schema([("group", pa.string()), ("sketch", pa.binary())]),
+        )
+
+    blobs = src.mapInArrow(build, blob_schema).repartition(F.col("group"))
+    qarr = np.array(qs)
+
+    def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        merged: dict[str, KLL] = {}
+        for batch in batches:
+            for name, blob in zip(
+                batch.column("group").to_pylist(),
+                batch.column("sketch").to_pylist(),
+            ):
+                sk = from_bytes(bytes(blob))
+                if not isinstance(sk, KLL) or sk.k != k:
+                    raise ValueError("mixed KLL parameters in grouped merge")
+                prev = merged.get(name)
+                merged[name] = sk if prev is None else prev.merge(sk)
+        if not merged:
+            return
+        out_g: list[str] = []
+        out_q: list[float] = []
+        out_e: list[float] = []
+        for name, sk in merged.items():
+            ests = sk.quantile(qarr)
+            out_g.extend([name] * len(qs))
+            out_q.extend(qs)
+            out_e.extend(float(x) for x in ests)
+        yield pa.RecordBatch.from_pydict(
+            {"group": out_g, "q": out_q, "est": out_e},
+            schema=pa.schema(
+                [("group", pa.string()), ("q", pa.float64()), ("est", pa.float64())]
+            ),
+        )
+
+    return blobs.mapInArrow(merge, "group string, q double, est double").withColumnRenamed(
+        "group", group_col
+    )
 
 
 def tdigest_quantiles(

@@ -588,3 +588,51 @@ class TestReviewFixesR3:
             comb_unrank_lex(100_000, 4, [0])
         with _pytest.raises(InputError):
             next(iter(iter_comb_chunks(100_000, 4, 1_000_000)))
+
+
+class TestGroupedKLL:
+    def test_rank_error_within_bound(self, spark):
+        """Per-group estimates obey the published rank-error bound on a
+        stream large enough that compaction actually engages."""
+        import numpy as np
+
+        from epichypersketch_jl_spark.operators.quantiles import (
+            kll_quantiles_grouped,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (f"g{i % 5}", float(v))
+            for i, v in enumerate(rng.normal(loc=0, scale=100, size=50_000))
+        ]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+        qs = [0.1, 0.5, 0.9]
+        est = {
+            (r.g, r.q): r.est
+            for r in kll_quantiles_grouped(df, "v", "g", qs, k=256).collect()
+        }
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        for (g, q), e in est.items():
+            sub = np.sort(pdf[pdf.g == g].v.values)
+            lo = np.searchsorted(sub, e, side="left") / len(sub)
+            hi = np.searchsorted(sub, e, side="right") / len(sub)
+            assert lo <= q + 0.03 and hi >= q - 0.03, (g, q, e, lo, hi)
+        assert len(est) == 15
+
+    def test_nulls_and_empty_quantiles(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.quantiles import (
+            kll_quantiles_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+        )
+        (r1, r2) = kll_quantiles_grouped(df, "v", "g", [0.0, 1.0]).orderBy("q").collect()
+        assert (r1.est, r2.est) == (1.0, 3.0)  # nulls excluded, extremes exact
+        with _pytest.raises(InputError):
+            kll_quantiles_grouped(df, "v", "g", [])
