@@ -1100,6 +1100,29 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+WSAMPLE_K = 5
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    operators/sampling.py): 5 docs per source with probability
+    proportional to n_chars.  The uniform source is the KMV permutation
+    hash, so the FULL sample (not just its size) is recomputed by the
+    SQL oracle — selection is a pure function of the data."""
+    from .operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=WSAMPLE_K,
+        group_col="source",
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("sample_rank").cast("long").alias("sample_rank")
+    ).orderBy("source", "sample_rank")
+
+
 # KMV bottom-k sketch params: k=256 over ~1300 distinct custkeys per
 # priority engages the ESTIMATION regime (sketch full, est = (k-1)*P div
 # h_k); k=16 over 6-31 distinct tokens per document engages truncation for
@@ -1242,6 +1265,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
+    "weighted_sample_docs": q_weighted_sample_docs,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1826,6 +1850,35 @@ SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
        epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
 ORDER BY p.event_id
+""",
+    # A-ES weighted sample: the uniform source is the KMV hash, so the
+    # key -ln((h+1)/2^31)/w and therefore the ENTIRE selection is
+    # recomputable (ln via libm on both engines; double literal forced
+    # with e-notation).
+    "weighted_sample_docs": f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+h AS (
+  SELECT doc_id, source, n_chars,
+         {_kmv_hash_sql('(CAST(doc_id AS BIGINT) + 0)')} AS hh
+  FROM d
+),
+key AS (
+  SELECT doc_id, source, n_chars,
+         -ln((hh + 1) / 2147483648.0e0) / CAST(n_chars AS DOUBLE) AS e
+  FROM h
+),
+rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY e ASC, doc_id ASC
+         ) AS sample_rank
+  FROM key
+)
+SELECT source, doc_id, n_chars, sample_rank FROM rk
+WHERE sample_rank <= {WSAMPLE_K} ORDER BY source, sample_rank
 """,
     # FULL exact oracles for the KMV sketch: the hash (two quadratic
     # permutation rounds mod 2^31-1, sketches/kmv.py hash_sql) and the

@@ -1,10 +1,13 @@
 """spark-submit entry point for the generalized sketch family:
-HLL cardinality, KLL / t-digest quantiles, Bloom build.
+HLL / KMV cardinality, KLL / t-digest quantiles (grouped KLL with
+--group-col), Misra-Gries top-k, Bloom build.
 
     spark-submit --py-files dist/ehs.zip jobs/sketch_stats.py \
         --input seqs.parquet --sketch hll --column tokens [--group-col source]
-    ... --sketch kll --column n_tok --quantiles 0.5,0.9,0.99
+    ... --sketch kll --column n_tok --quantiles 0.5,0.9,0.99 [--group-col source]
     ... --sketch tdigest --column n_tok --quantiles 0.5,0.99
+    ... --sketch kmv --column doc_id [--group-col source] --kmv-k 256
+    ... --sketch topk --column token [--group-col source] --topk 10
     ... --sketch bloom --column doc_id --bloom-out /path/bloom.bin
 """
 
@@ -19,7 +22,7 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--sketch", choices=["hll", "kll", "tdigest", "bloom"], required=True)
+    ap.add_argument("--sketch", choices=["hll", "kll", "tdigest", "bloom", "kmv", "topk"], required=True)
     ap.add_argument("--column", required=True)
     ap.add_argument("--group-col", default=None)
     ap.add_argument("--quantiles", default="0.5,0.9,0.99")
@@ -28,6 +31,9 @@ def main() -> None:
     ap.add_argument("--compression", type=float, default=200.0, help="t-digest delta")
     ap.add_argument("--n-expected", type=int, default=1_000_000)
     ap.add_argument("--fpp", type=float, default=0.01)
+    ap.add_argument("--kmv-k", type=int, default=256, help="KMV bottom-k size")
+    ap.add_argument("--topk", type=int, default=10, help="top-k to emit")
+    ap.add_argument("--n-counters", type=int, default=64, help="Misra-Gries counters")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bloom-out", default=None)
     args = ap.parse_args()
@@ -41,8 +47,35 @@ def main() -> None:
         out = hll_distinct(df, args.column, group_col=args.group_col, p=args.p, seed=args.seed)
         for r in out.collect():
             print(json.dumps(r.asDict()))
+    elif args.sketch == "kmv":
+        from epichypersketch_jl_spark.operators.cardinality import kmv_distinct
+
+        out = kmv_distinct(df, args.column, group_col=args.group_col, k=args.kmv_k)
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    elif args.sketch == "topk":
+        from epichypersketch_jl_spark.operators.topk import approx_topk
+
+        out = approx_topk(
+            df, args.column, k=args.topk, n_counters=args.n_counters,
+            group_col=args.group_col,
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
     elif args.sketch in ("kll", "tdigest"):
         qs = [float(x) for x in args.quantiles.split(",")]
+        if args.sketch == "kll" and args.group_col is not None:
+            from epichypersketch_jl_spark.operators.quantiles import (
+                kll_quantiles_grouped,
+            )
+
+            out = kll_quantiles_grouped(
+                df, args.column, args.group_col, qs, k=args.k, seed=args.seed
+            )
+            for r in out.collect():
+                print(json.dumps(r.asDict()))
+            spark.stop()
+            return
         if args.sketch == "kll":
             from epichypersketch_jl_spark.operators.quantiles import kll_quantiles
 

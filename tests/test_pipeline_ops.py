@@ -636,3 +636,68 @@ class TestGroupedKLL:
         assert (r1.est, r2.est) == (1.0, 3.0)  # nulls excluded, extremes exact
         with _pytest.raises(InputError):
             kll_quantiles_grouped(df, "v", "g", [])
+
+
+class TestWeightedSample:
+    def test_matches_numpy_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from epichypersketch_jl_spark.operators.sampling import weighted_sample
+        from epichypersketch_jl_spark.sketches.kmv import P, kmv_hash
+
+        rows = [(i, float(1 + i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        ref = None
+        for parts in (1, 16):
+            got = [
+                (r.id, r.sample_rank)
+                for r in weighted_sample(
+                    df.repartition(parts), id_col="id", weight_col="w", k=20
+                ).orderBy("sample_rank").collect()
+            ]
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref
+        ids = np.arange(500)
+        w = 1 + ids % 7
+        e = -np.log((kmv_hash(ids) + 1) / (P + 1)) / w
+        want = list(ids[np.lexsort((ids, e))][:20])
+        assert [i for i, _ in ref] == want
+
+    def test_selection_tracks_weights(self):
+        """Math-level check (no Spark): over many salts, an item with
+        weight W among N unit-weight items wins k=1 about W/(N+W-1) of
+        the time (A-ES correctness)."""
+        import numpy as np
+
+        from epichypersketch_jl_spark.sketches.kmv import P, kmv_hash
+
+        N, W, hits = 200, 50.0, 0
+        salts = 400
+        for s in range(salts):
+            ids = np.arange(N, dtype=np.int64)
+            u = (kmv_hash(ids + s * 1_000_003) + 1) / (P + 1)
+            w = np.ones(N)
+            w[0] = W
+            e = -np.log(u) / w
+            hits += int(np.argmin(e) == 0)
+        p_expected = W / (N - 1 + W)  # ~0.167
+        assert abs(hits / salts - p_expected) < 0.06
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.0, "a"), (2, None, "a"), (3, -1.0, "a"), (4, 5.0, "a")],
+            "id long, w double, g string",
+        )
+        got = weighted_sample(df, id_col="id", weight_col="w", k=10, group_col="g")
+        assert sorted(r.id for r in got.collect()) == [1, 4]  # null/neg excluded
+        with _pytest.raises(InputError):
+            weighted_sample(df, id_col="id", weight_col="w", k=0)
+        with _pytest.raises(InputError):
+            weighted_sample(df, id_col="g", weight_col="w", k=1)
