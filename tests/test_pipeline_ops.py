@@ -701,3 +701,12 @@ class TestWeightedSample:
             weighted_sample(df, id_col="id", weight_col="w", k=0)
         with _pytest.raises(InputError):
             weighted_sample(df, id_col="g", weight_col="w", k=1)
+
+
+def test_kmv_distinct_ungrouped(spark):
+    from epichypersketch_jl_spark.operators.cardinality import kmv_distinct
+
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+    (row,) = kmv_distinct(df, "v", k=256).collect()
+    assert row.est_distinct == 100 and row.n_kept == 100
+    assert "group" not in row.asDict()
