@@ -1100,6 +1100,30 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+PMI_MIN = 2000
+
+
+def q_motif_pmi_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI enrichment over the sketch's qualifying pairs
+    (operators/motif.motif_pmi): count companions are integers and the
+    ln-based score is emitted in 1e-6 fixed point with the identical
+    IEEE-754 expression tree in the oracle — a full value-hash oracle for
+    the quantitative enrichment measure."""
+    from .operators.motif import motif_pmi
+
+    seq = _seq(spark, sf_dir)
+    cfg = HyperSketchConfig(motif_size=2, min_count=PMI_MIN, seed=42)
+    out = motif_pmi(seq, cfg)
+    return out.select(
+        "m1",
+        "m2",
+        "c_ab",
+        "c_1",
+        "c_2",
+        F.floor(F.col("pmi") * F.lit(1000000.0)).alias("pmi_fp"),
+    ).orderBy("m1", "m2")
+
+
 WSAMPLE_K = 5
 
 
@@ -1266,6 +1290,7 @@ QUERIES = {
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "motif_pmi_k2": q_motif_pmi_k2,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1850,6 +1875,34 @@ SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
        epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
 ORDER BY p.event_id
+""",
+    # PMI: counts are exact recounts; the ln expression tree mirrors the
+    # Spark side left-associatively (T and T2 fold in as BIGINT/BIGINT
+    # double divisions, identical to Spark's long/double-literal).
+    "motif_pmi_k2": f"""
+WITH {_TOK_CTE},
+pairs AS (
+  SELECT a.doc_id, a.tok AS m1, b.tok AS m2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.idx < b.idx
+),
+cnt AS (
+  SELECT m1, m2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY m1, m2 HAVING count(*) >= {PMI_MIN}
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+docn AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS t_tokens,
+         (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM docn) AS t_pairs
+)
+SELECT cnt.m1, cnt.m2, cnt.c_ab, u1.c AS c_1, u2.c AS c_2,
+  CAST(floor((ln(cnt.c_ab / t_pairs) - ln(u1.c / t_tokens)
+              - ln(u2.c / t_tokens)) * 1000000.0e0) AS BIGINT) AS pmi_fp
+FROM cnt
+JOIN uni u1 ON u1.tok = cnt.m1
+JOIN uni u2 ON u2.tok = cnt.m2
+CROSS JOIN tot
+ORDER BY m1, m2
 """,
     # A-ES weighted sample: the uniform source is the KMV hash, so the
     # key -ln((h+1)/2^31)/w and therefore the ENTIRE selection is

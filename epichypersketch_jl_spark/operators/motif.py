@@ -330,3 +330,54 @@ def motif_summary(occurrences: DataFrame, k: int, top_n: int | None = None) -> D
         .orderBy(F.desc("count"), *keys)
     )
     return out.limit(top_n) if top_n else out
+
+
+def motif_pmi(df: DataFrame, cfg: HyperSketchConfig) -> DataFrame:
+    """Pointwise mutual information for qualifying k=2 motifs — the
+    canonical enrichment score on top of the sketch counts: how much more
+    often a pair co-occurs than its tokens' frequencies predict.
+
+        pmi(a,b) = ln(c_ab / T2) - ln(c_a / T) - ln(c_b / T)
+
+    with c_ab the pair's co-occurrence count (motif_counts; CMS-estimated,
+    exact in the parity regime), c_a corpus occurrence counts, T total
+    tokens, and T2 = sum_d C(n_d, 2) total pair slots.  Positive pmi =
+    co-occur MORE than chance — the enrichment the reference's threshold
+    selects on, made quantitative.
+
+    Plan: the unigram table is tiny (vocab-sized) and broadcast-joined
+    twice; T/T2 reduce to two numbers folded in as literals — no extra
+    shuffle beyond motif_counts' own.  Returns (m1, m2, c_ab, c_1, c_2,
+    pmi) with pmi a double; the expression tree is SQL-reproducible
+    verbatim (see the driver oracle)."""
+    if cfg.motif_size != 2:
+        raise InputError("motif_pmi is defined for motif_size=2")
+    counts = motif_counts(df, cfg).select(
+        "m1", "m2", F.col("count").alias("c_ab")
+    )
+    uni = (
+        df.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = df.agg(
+        F.sum("n_tok").alias("T"),
+        F.sum(F.expr("n_tok * (n_tok - 1) div 2")).alias("T2"),
+    ).first()
+    t_tokens, t_pairs = float(tot.T), float(tot.T2)
+    j = (
+        counts.join(
+            F.broadcast(uni.select(F.col("t").alias("m1"), F.col("c").alias("c_1"))),
+            "m1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("m2"), F.col("c").alias("c_2"))),
+            "m2",
+        )
+    )
+    pmi = (
+        F.log(F.col("c_ab") / F.lit(t_pairs))
+        - F.log(F.col("c_1") / F.lit(t_tokens))
+        - F.log(F.col("c_2") / F.lit(t_tokens))
+    )
+    return j.select("m1", "m2", "c_ab", "c_1", "c_2", pmi.alias("pmi"))

@@ -710,3 +710,37 @@ def test_kmv_distinct_ungrouped(spark):
     (row,) = kmv_distinct(df, "v", k=256).collect()
     assert row.est_distinct == 100 and row.n_kept == 100
     assert "group" not in row.asDict()
+
+
+class TestMotifPMI:
+    def test_pmi_matches_hand_computation(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.operators.motif import motif_pmi
+
+        # 2 docs: (1,2,3) and (1,2) -> pair (1,2) occurs 2x; T=5, T2=3+1=4
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3], 3, "s"), ("b", [1, 2], 2, "s")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        cfg = HyperSketchConfig(motif_size=2, min_count=2, seed=42)
+        out = {(r.m1, r.m2): r for r in motif_pmi(df, cfg).collect()}
+        r = out[(1, 2)]
+        assert (r.c_ab, r.c_1, r.c_2) == (2, 2, 2)
+        want = math.log(2 / 4.0) - math.log(2 / 5.0) - math.log(2 / 5.0)
+        assert abs(r.pmi - want) < 1e-12
+
+    def test_pmi_requires_k2(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.motif import motif_pmi
+
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3], 3, "s")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        with _pytest.raises(InputError):
+            motif_pmi(df, HyperSketchConfig(motif_size=3, min_count=1))
