@@ -77,3 +77,60 @@ class StreamingSketchJob:
         for r in rows[1:]:
             sk = sk.merge(from_bytes(bytes(r.sketch)))
         return sk
+
+
+class StreamingAnySketchJob:
+    """Maintain ANY mergeable sketch over a stream — the generalization of
+    StreamingSketchJob beyond the CMS: plug a zero_fn () -> sketch and an
+    update_fn (sketch, RecordBatch, stats) -> None (the exact signature
+    build_sketch_distributed uses), and each micro-batch appends one blob
+    per task; the live sketch is the merge of all blobs.  Works for HLL,
+    KMV, Bloom, KLL, t-digest out of the box:
+
+        job = StreamingAnySketchJob(
+            lambda: HyperLogLog(p=14, seed=42),
+            lambda sk, b, st: sk.update_batch(
+                b.column("user_id").to_numpy(zero_copy_only=False)),
+            blob_dir)
+
+    Order-invariance of the merge makes late and retried micro-batches
+    harmless; dedup by (batch_id, part_id) makes sink retries idempotent.
+    """
+
+    def __init__(self, zero_fn, update_fn, blob_dir: str):
+        self.zero_fn = zero_fn
+        self.update_fn = update_fn
+        self.blob_dir = blob_dir
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        fn = _make_build_fn(self.zero_fn, self.update_fn)
+        (
+            batch_df.mapInArrow(fn, BLOB_SCHEMA)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.blob_dir)
+        )
+
+    def start(self, stream_df: DataFrame, *, checkpoint_dir: str, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def current_sketch(self, spark: SparkSession):
+        rows = (
+            spark.read.parquet(self.blob_dir)
+            .dropDuplicates(["batch_id", "part_id"])
+            .select("sketch")
+            .collect()
+        )
+        if not rows:
+            return self.zero_fn()
+        sk = from_bytes(bytes(rows[0].sketch))
+        for r in rows[1:]:
+            sk = sk.merge(from_bytes(bytes(r.sketch)))
+        return sk

@@ -87,3 +87,59 @@ class TestStreaming:
         batch, _ = build_motif_cms(df, cfg)
         assert streamed == batch, "incremental streaming sketch must equal batch build"
         assert streamed.n_updates == batch.n_updates
+
+
+class TestStreamingAnySketch:
+    def test_streaming_hll_and_kmv_equal_batch(self, spark, tmp_path, sf_dir):
+        """The generic streaming job maintains non-CMS family sketches:
+        incremental availableNow ingestion == one-shot batch build."""
+        from epichypersketch_jl_spark.sketches.hll import HyperLogLog
+        from epichypersketch_jl_spark.sketches.kmv import KMV, kmv_hash
+        from epichypersketch_jl_spark.streaming.sketch_stream import (
+            StreamingAnySketchJob,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+        src_dir = str(tmp_path / "src")
+        ev.repartition(3).write.parquet(src_dir)
+
+        def hll_update(sk, batch, stats):
+            sk.update_batch(batch.column("user_id").to_numpy(zero_copy_only=False))
+
+        def kmv_update(sk, batch, stats):
+            sk.update_raw(
+                batch.column("user_id").to_numpy(zero_copy_only=False)
+            )
+
+        for name, zero, update in [
+            ("hll", lambda: HyperLogLog(p=12, seed=7), hll_update),
+            ("kmv", lambda: KMV(k=64), kmv_update),
+        ]:
+            job = StreamingAnySketchJob(
+                zero, update, str(tmp_path / f"{name}_blobs")
+            )
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            q = job.start(
+                stream,
+                checkpoint_dir=str(tmp_path / f"{name}_ckpt"),
+                available_now=True,
+            )
+            q.awaitTermination(120)
+            streamed = job.current_sketch(spark)
+            batch_sk = zero()
+            import numpy as np
+
+            vals = np.array(
+                [r.user_id for r in ev.collect()], dtype=np.int64
+            )
+            if name == "hll":
+                batch_sk.update_batch(vals)
+                assert np.array_equal(streamed.regs, batch_sk.regs)
+                assert streamed.estimate() == batch_sk.estimate()
+            else:
+                batch_sk.update_raw(vals)
+                assert streamed == batch_sk  # KMV defines value equality
