@@ -124,8 +124,11 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "motif_scale.json"), "w") as f:
         json.dump(res, f, indent=1)
 
+    # tokenize_ingest is excluded from the comparison table: it measures
+    # the write-once cache (cold build vs warm hit depending on prior
+    # runs), so sf0.1-vs-sf1 wall times are not physically comparable —
+    # the raw numbers stay in the JSON for completeness.
     qnames = [
-        "tokenize_ingest",
         "ntok_stats",
         "heavy_tokens",
         "motifs_k2_summary",

@@ -877,8 +877,11 @@ def q_kll_ntok_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _seq(spark, sf_dir)
     est = kll_quantiles_grouped(seq, "n_tok", "source", KLLG_QS, k=256, seed=42)
     j = seq.select("source", "n_tok").join(F.broadcast(est), "source")
+    # count(n_tok), not count(*): NULLs are excluded from the sketch and
+    # from the lo/hi comparisons, so they must be excluded from n as well
+    # (same discipline as the ungrouped _rank_bound_check)
     agg = j.groupBy("source", "q").agg(
-        F.count("*").alias("n"),
+        F.count(F.col("n_tok")).alias("n"),
         F.sum((F.col("n_tok") < F.col("est")).cast("long")).alias("lo"),
         F.sum((F.col("n_tok") <= F.col("est")).cast("long")).alias("hi"),
     )

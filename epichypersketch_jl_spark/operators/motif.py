@@ -355,15 +355,20 @@ def motif_pmi(df: DataFrame, cfg: HyperSketchConfig) -> DataFrame:
     counts = motif_counts(df, cfg).select(
         "m1", "m2", F.col("count").alias("c_ab")
     )
+    n_tok = F.size(F.col(cfg.tokens_col)).cast("bigint")
     uni = (
-        df.select(F.explode("tokens").alias("t"))
+        df.select(F.explode(cfg.tokens_col).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )
+    # bigint from the start: n*(n-1) overflows 32-bit int at n >= 46342
+    # (a book-length doc), which under ANSI mode aborts the whole job
     tot = df.agg(
-        F.sum("n_tok").alias("T"),
-        F.sum(F.expr("n_tok * (n_tok - 1) div 2")).alias("T2"),
+        F.sum(n_tok).alias("T"),
+        F.sum(F.expr(f"CAST(size({cfg.tokens_col}) AS BIGINT) * (size({cfg.tokens_col}) - 1) div 2")).alias("T2"),
     ).first()
+    if not tot.T or not tot.T2:
+        raise InputError("motif_pmi over an empty corpus (no token pairs)")
     t_tokens, t_pairs = float(tot.T), float(tot.T2)
     j = (
         counts.join(

@@ -47,8 +47,11 @@ def weighted_sample(
     `group_col` is given): rows with weight w are selected proportionally
     to w.  Returns the input columns plus `sample_rank` (1..k by
     ascending key).  Rows with NULL or non-positive weight are excluded
-    (they have zero selection probability).  `id_col` must be integral —
-    it feeds the deterministic hash."""
+    (they have zero selection probability).  `id_col` must be integral
+    AND unique — it feeds the deterministic hash, so rows sharing an id
+    get identical keys and the tie between them is partition-order
+    dependent, voiding the determinism guarantee for exactly those
+    rows."""
     for c in [id_col, weight_col] + ([group_col] if group_col else []):
         if c not in df.columns:
             raise InputError(f"weighted_sample: input lacks column {c!r}")

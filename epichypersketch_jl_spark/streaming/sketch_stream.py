@@ -27,20 +27,38 @@ from ..sketches.base import from_bytes
 from ..sketches.cms import CountMinSketch
 
 
-class StreamingSketchJob:
-    """Maintain a global CMS over a stream of sequence rows."""
+class StreamingAnySketchJob:
+    """Maintain ANY mergeable sketch over a stream: plug a zero_fn
+    () -> sketch and an update_fn (sketch, RecordBatch, stats) -> None
+    (the exact signature build_sketch_distributed uses), and each
+    micro-batch appends one blob per task; the live sketch is the merge
+    of all blobs.  Works for CMS, HLL, KMV, Bloom, KLL, t-digest:
 
-    def __init__(self, cfg: HyperSketchConfig, blob_dir: str, conv: bool = False):
-        self.cfg = cfg
+        job = StreamingAnySketchJob(
+            lambda: HyperLogLog(p=14, seed=42),
+            lambda sk, b, st: sk.update_batch(
+                b.column("user_id").to_numpy(zero_copy_only=False)),
+            blob_dir)
+
+    Order-invariance of the merge makes late and retried micro-batches
+    harmless; dedup by (batch_id, part_id) makes sink retries idempotent.
+    Subclasses may override _prepare to project/filter each micro-batch
+    before the kernel (the CMS job narrows to the sequence columns).
+    """
+
+    def __init__(self, zero_fn, update_fn, blob_dir: str):
+        self.zero_fn = zero_fn
+        self.update_fn = update_fn
         self.blob_dir = blob_dir
-        self.conv = conv
+
+    def _prepare(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        cfg, conv = self.cfg, self.conv
-        prepared = _prepared(batch_df, cfg, conv, with_weights=False)
-        fn = _make_build_fn(lambda: make_cms(cfg, conv), _make_update_fn(cfg, conv))
+        fn = _make_build_fn(self.zero_fn, self.update_fn)
         (
-            prepared.mapInArrow(fn, BLOB_SCHEMA)
+            self._prepare(batch_df)
+            .mapInArrow(fn, BLOB_SCHEMA)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(self.blob_dir)
@@ -62,75 +80,44 @@ class StreamingSketchJob:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def current_sketch(self, spark: SparkSession) -> CountMinSketch:
-        """Merge of everything ingested so far (dedup by (batch_id, part_id)
-        so sink retries cannot double-count)."""
-        rows = (
-            spark.read.parquet(self.blob_dir)
-            .dropDuplicates(["batch_id", "part_id"])
-            .select("sketch")
-            .collect()
-        )
-        if not rows:
-            return make_cms(self.cfg, self.conv)
-        sk = from_bytes(bytes(rows[0].sketch))
-        for r in rows[1:]:
-            sk = sk.merge(from_bytes(bytes(r.sketch)))
-        return sk
-
-
-class StreamingAnySketchJob:
-    """Maintain ANY mergeable sketch over a stream — the generalization of
-    StreamingSketchJob beyond the CMS: plug a zero_fn () -> sketch and an
-    update_fn (sketch, RecordBatch, stats) -> None (the exact signature
-    build_sketch_distributed uses), and each micro-batch appends one blob
-    per task; the live sketch is the merge of all blobs.  Works for HLL,
-    KMV, Bloom, KLL, t-digest out of the box:
-
-        job = StreamingAnySketchJob(
-            lambda: HyperLogLog(p=14, seed=42),
-            lambda sk, b, st: sk.update_batch(
-                b.column("user_id").to_numpy(zero_copy_only=False)),
-            blob_dir)
-
-    Order-invariance of the merge makes late and retried micro-batches
-    harmless; dedup by (batch_id, part_id) makes sink retries idempotent.
-    """
-
-    def __init__(self, zero_fn, update_fn, blob_dir: str):
-        self.zero_fn = zero_fn
-        self.update_fn = update_fn
-        self.blob_dir = blob_dir
-
-    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        fn = _make_build_fn(self.zero_fn, self.update_fn)
-        (
-            batch_df.mapInArrow(fn, BLOB_SCHEMA)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(self.blob_dir)
-        )
-
-    def start(self, stream_df: DataFrame, *, checkpoint_dir: str, available_now: bool = True):
-        writer = (
-            stream_df.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-
     def current_sketch(self, spark: SparkSession):
-        rows = (
-            spark.read.parquet(self.blob_dir)
-            .dropDuplicates(["batch_id", "part_id"])
-            .select("sketch")
-            .collect()
-        )
+        """Merge of everything ingested so far (dedup by (batch_id, part_id)
+        so sink retries cannot double-count); the zero sketch when no
+        micro-batch has committed yet — including before the sink
+        directory exists."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (
+                spark.read.parquet(self.blob_dir)
+                .dropDuplicates(["batch_id", "part_id"])
+                .select("sketch")
+                .collect()
+            )
+        except AnalysisException:  # PATH_NOT_FOUND before the first commit
+            return self.zero_fn()
         if not rows:
             return self.zero_fn()
         sk = from_bytes(bytes(rows[0].sketch))
         for r in rows[1:]:
             sk = sk.merge(from_bytes(bytes(r.sketch)))
         return sk
+
+
+class StreamingSketchJob(StreamingAnySketchJob):
+    """Maintain a global motif CMS over a stream of sequence rows — the
+    CMS instantiation of StreamingAnySketchJob (same blob-append,
+    idempotence, and merge semantics)."""
+
+    def __init__(self, cfg: HyperSketchConfig, blob_dir: str, conv: bool = False):
+        super().__init__(
+            lambda: make_cms(cfg, conv), _make_update_fn(cfg, conv), blob_dir
+        )
+        self.cfg = cfg
+        self.conv = conv
+
+    def _prepare(self, batch_df: DataFrame) -> DataFrame:
+        return _prepared(batch_df, self.cfg, self.conv, with_weights=False)
+
+    def current_sketch(self, spark: SparkSession) -> CountMinSketch:
+        return super().current_sketch(spark)

@@ -81,6 +81,11 @@ def main() -> None:
 
             res = kll_quantiles(df, args.column, qs, k=args.k, seed=args.seed)
         else:
+            if args.group_col is not None:
+                raise SystemExit(
+                    "--group-col is not supported for --sketch tdigest "
+                    "(use --sketch kll for grouped quantiles)"
+                )
             from epichypersketch_jl_spark.operators.quantiles import tdigest_quantiles
 
             res = tdigest_quantiles(df, args.column, qs, compression=args.compression)
