@@ -1103,6 +1103,18 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram log-probability scoring (operators/lm.py) — the
+    perplexity-style fluency gate.  Per-pair ln values quantize to 1e-9
+    fixed point BEFORE summation, so the per-doc score is an integer sum:
+    order-free, partition-invariant, and exactly recomputable in SQL."""
+    from .operators.lm import bigram_logprob
+
+    seq = _seq(spark, sf_dir, with_positions=True)
+    out = bigram_logprob(seq)
+    return out.select("doc_id", "n_pairs", "logprob_fp_sum").orderBy("doc_id")
+
+
 PMI_MIN = 2000
 
 
@@ -1294,6 +1306,7 @@ QUERIES = {
     "kll_ntok_per_source": q_kll_ntok_per_source,
     "weighted_sample_docs": q_weighted_sample_docs,
     "motif_pmi_k2": q_motif_pmi_k2,
+    "bigram_logprob_docs": q_bigram_logprob_docs,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1878,6 +1891,42 @@ SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
        epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
 ORDER BY p.event_id
+""",
+    # Bigram LM scoring: per-pair ln quantized to 1e-9 fixed point before
+    # the (integer) per-doc sum, so no float accumulation order exists to
+    # disagree on.
+    "bigram_logprob_docs": """
+WITH dws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE TRUE)
+  WHERE w != ''
+),
+pw AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+  FROM dws
+),
+pt AS (SELECT doc_id, tok, pos FROM pw JOIN vocab ON vocab.w = pw.wd),
+pairs AS (
+  SELECT a.doc_id, a.tok AS a, b.tok AS b
+  FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+fst AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM pairs GROUP BY a),
+lut AS (
+  SELECT bi.a, bi.b,
+         CAST(floor(ln(c_ab / c_a) * 1000000000.0e0) AS BIGINT) AS lp_fp
+  FROM bi JOIN fst ON fst.a = bi.a
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(lp_fp) AS BIGINT) AS logprob_fp_sum
+FROM pairs p JOIN lut ON lut.a = p.a AND lut.b = p.b
+GROUP BY p.doc_id ORDER BY doc_id
 """,
     # PMI: counts are exact recounts; the ln expression tree mirrors the
     # Spark side left-associatively (T and T2 fold in as BIGINT/BIGINT

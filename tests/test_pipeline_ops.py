@@ -744,3 +744,46 @@ class TestMotifPMI:
         )
         with _pytest.raises(InputError):
             motif_pmi(df, HyperSketchConfig(motif_size=3, min_count=1))
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.lm import bigram_logprob
+
+        # doc a: word order (by positions) 5,7,5 -> pairs (5,7),(7,5)
+        # doc b: 7,5          -> pair (7,5)
+        # bigram counts: (5,7):1, (7,5):2 ; first counts: 5->1, 7->2
+        df = spark.createDataFrame(
+            [
+                ("a", [5, 5, 7], [1, 3, 2], "s"),
+                ("b", [5, 7], [2, 1], "s"),
+                ("c", [9], [1], "s"),
+            ],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+        assert "c" not in out  # singleton: no bigrams
+        lp_57 = math.floor(math.log(1 / 1) * 1e9)  # ln(1)=0
+        lp_75 = math.floor(math.log(2 / 2) * 1e9)  # ln(1)=0
+        assert out["a"].n_pairs == 2 and out["a"].logprob_fp_sum == lp_57 + lp_75
+        assert out["b"].n_pairs == 1 and out["b"].logprob_fp_sum == lp_75
+        # skewed corpus: rare transition scores below common one
+        df2 = spark.createDataFrame(
+            [("d%d" % i, [1, 2], [1, 2], "s") for i in range(9)]
+            + [("x", [1, 3], [1, 2], "s")],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        o2 = {r.doc_id: r.avg_logprob for r in bigram_logprob(df2).collect()}
+        assert o2["x"] < o2["d0"] < 0.0 or (o2["d0"] == 0.0 and o2["x"] < 0)
+
+    def test_missing_column_raises(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.lm import bigram_logprob
+
+        df = spark.createDataFrame([("a", [1, 2])], "doc_id string, tokens array<int>")
+        with _pytest.raises(InputError):
+            bigram_logprob(df)
