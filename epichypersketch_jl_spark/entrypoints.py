@@ -1900,21 +1900,17 @@ WITH dws AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
   FROM documents WHERE text IS NOT NULL
 ),
-vocab AS (
-  SELECT w, CAST(row_number() OVER (ORDER BY w) AS INT) AS tok
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
-        FROM documents WHERE TRUE)
-  WHERE w != ''
-),
 pw AS (
   SELECT doc_id, unnest(ws) AS wd,
          CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
   FROM dws
 ),
-pt AS (SELECT doc_id, tok, pos FROM pw JOIN vocab ON vocab.w = pw.wd),
+-- adjacency is position-defined, so token ids are irrelevant: pair
+-- directly on the word strings (the Spark side's int pairs group
+-- identically because the word -> id map is a bijection)
 pairs AS (
-  SELECT a.doc_id, a.tok AS a, b.tok AS b
-  FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  SELECT a.doc_id, a.wd AS a, b.wd AS b
+  FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 ),
 bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
 fst AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM pairs GROUP BY a),

@@ -12,8 +12,10 @@ Design for exactness AND scale:
     BEFORE any summation, so the per-doc score is an INTEGER sum —
     order-free, partition-invariant, and reproducible bit-for-bit in
     ANSI SQL (float summation order would otherwise break parity);
-  * the count tables are vocabulary-bounded and broadcast; the only
-    shuffle is their aggregation.
+  * the count tables aggregate to O(min(V^2, corpus pairs)) rows; the
+    join back to the pair stream is left to the optimizer (AQE
+    broadcasts it while it fits and falls back to a shuffle join when a
+    web-scale vocabulary makes the bigram table itself large).
 """
 
 from __future__ import annotations
@@ -24,10 +26,15 @@ from pyspark.sql import functions as F
 from ..errors import InputError
 
 
-def _ordered_pairs(df: DataFrame, tokens_col: str, positions_col: str):
-    """Explode each doc into its adjacent (a, b) token pairs in POSITION
-    order (the tokens column is canonically sorted by token id, so word
-    order must be recovered from positions)."""
+def _adjacent_pairs(
+    df: DataFrame, tokens_col: str, positions_col: str, id_col: str
+) -> DataFrame:
+    """(id, a, b): each doc's adjacent token pairs in POSITION order.
+    The position sort is defensive normalization — the cached sequences
+    table already stores word order, but rows that passed through the
+    motif pipeline's canonical per-id sort (or any re-ordering) still
+    produce correct bigrams.  Docs with fewer than 2 tokens are filtered
+    here (F.sequence(0, n-2) would otherwise descend and index 0)."""
     ordered = F.transform(
         F.array_sort(F.arrays_zip(F.col(positions_col), F.col(tokens_col))),
         lambda s: s[tokens_col],
@@ -40,7 +47,11 @@ def _ordered_pairs(df: DataFrame, tokens_col: str, positions_col: str):
             F.element_at(ordered, i + 2).alias("b"),
         ),
     )
-    return F.explode(pairs)
+    return (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
 
 
 def bigram_logprob(
@@ -63,12 +74,11 @@ def bigram_logprob(
     for c in (tokens_col, positions_col, id_col):
         if c not in df.columns:
             raise InputError(f"bigram_logprob: input lacks column {c!r}")
-    src = df.filter(F.size(F.col(tokens_col)) >= 2)
-    pairs = src.select(
-        F.col(id_col), _ordered_pairs(src, tokens_col, positions_col).alias("p")
-    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = _adjacent_pairs(df, tokens_col, positions_col, id_col)
     bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    first = pairs.groupBy("a").agg(F.count("*").alias("c_a"))
+    # c_a = count of a in non-final position = sum of its bigram counts:
+    # derived from the (small) bigram table, not a third corpus pass
+    first = bi.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     # quantize per DISTINCT pair, then integer-sum per doc: no float
     # accumulation anywhere, so the result is order- and partition-free
     lut = bi.join(first, "a").select(
@@ -80,7 +90,7 @@ def bigram_logprob(
         ).alias("lp_fp"),
     )
     return (
-        pairs.join(F.broadcast(lut), ["a", "b"])
+        pairs.join(lut, ["a", "b"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_pairs"),
