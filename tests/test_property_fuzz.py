@@ -113,3 +113,30 @@ def test_fuzz_comb_chunks_cover_exactly_once(L, k, max_cells):
     got = np.concatenate(chunks) if chunks else np.empty((0, k), dtype=np.int64)
     assert got.shape[0] == comb(L, k)
     assert np.array_equal(got, comb_index_matrix(L, k))
+
+
+@given(
+    L=st.integers(1, 40),
+    k=st.integers(1, 6),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_unrank_matches_itertools(L, k, data):
+    """comb_unrank_lex(L, k, ranks) == the rank-indexed rows of the
+    itertools enumeration, for arbitrary (possibly unsorted,
+    non-contiguous, duplicated) rank subsets."""
+    from itertools import combinations
+    from math import comb
+
+    from epichypersketch_jl_spark.functions.combinations import comb_unrank_lex
+
+    if k > L:
+        return
+    total = comb(L, k)
+    ranks = data.draw(
+        st.lists(st.integers(0, total - 1), min_size=0, max_size=50)
+    )
+    got = comb_unrank_lex(L, k, np.array(ranks, dtype=np.int64))
+    full = list(combinations(range(L), k))
+    want = np.array([full[r] for r in ranks], dtype=np.int64).reshape(len(ranks), k)
+    assert np.array_equal(got, want)
