@@ -1103,6 +1103,46 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a FAMILY sketch (StreamingAnySketchJob):
+    an HLL over events.user_id ingested through a real availableNow
+    streaming run (blob-append per micro-batch, merged on read).  The
+    streamed registers are bit-identical to a batch build by merge
+    order-invariance, so the estimate carries the same 3·rsd bound check
+    as hll_tokens_per_source, against an exact SQL-recomputable
+    companion.  Blob/checkpoint dirs are driver-local tempdirs — correct
+    in local mode, same caveat as the checkpointed motif query."""
+    import tempfile
+
+    from .sketches.hll import HyperLogLog
+    from .streaming.sketch_stream import StreamingAnySketchJob
+
+    p = 14
+    rsd = 1.04 / (2 ** (p / 2))
+    base = tempfile.mkdtemp(prefix="ehs_stream_hll_")
+    job = StreamingAnySketchJob(
+        lambda: HyperLogLog(p=p, seed=42),
+        lambda sk, b, st: sk.update_batch(
+            b.column("user_id").to_numpy(zero_copy_only=False)
+        ),
+        os.path.join(base, "blobs"),
+    )
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    q = job.start(
+        stream,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    est = int(round(job.current_sketch(spark).estimate()))
+    ev = read_table(spark, sf_dir, "events")
+    n_exact = ev.select(F.countDistinct("user_id")).first()[0]
+    ok = abs(est - n_exact) <= max(3 * rsd * n_exact, 1.0)
+    return spark.createDataFrame(
+        [(int(n_exact), bool(ok))], schema="n_exact: long, within_3rsd: boolean"
+    )
+
+
 def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram log-probability scoring (operators/lm.py) — the
     perplexity-style fluency gate.  Per-pair ln values quantize to 1e-9
@@ -1307,6 +1347,7 @@ QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "motif_pmi_k2": q_motif_pmi_k2,
     "bigram_logprob_docs": q_bigram_logprob_docs,
+    "events_stream_hll": q_events_stream_hll,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1891,6 +1932,11 @@ SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
        epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
 ORDER BY p.event_id
+""",
+    "events_stream_hll": """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_3rsd
+FROM events
 """,
     # Bigram LM scoring: per-pair ln quantized to 1e-9 fixed point before
     # the (integer) per-doc sum, so no float accumulation order exists to
