@@ -1143,6 +1143,20 @@ def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source
+    (text_analysis.token_entropy) — the corpus-diversity diagnostic.
+    Per-distinct-token ln terms quantize to 1e-9 fixed point before the
+    weighted integer sum, so the entropy itself is SQL-recomputable."""
+    from .operators.text_analysis import token_entropy
+
+    seq = _seq(spark, sf_dir)
+    out = token_entropy(seq, "tokens", group_col="source")
+    return out.select(
+        "source", "n_values", "n_distinct", "entropy_fp_sum"
+    ).orderBy("source")
+
+
 def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram log-probability scoring (operators/lm.py) — the
     perplexity-style fluency gate.  Per-pair ln values quantize to 1e-9
@@ -1348,6 +1362,7 @@ QUERIES = {
     "motif_pmi_k2": q_motif_pmi_k2,
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "events_stream_hll": q_events_stream_hll,
+    "token_entropy_per_source": q_token_entropy_per_source,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1932,6 +1947,21 @@ SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, m.view_event_id,
        epoch_ms(m.view_ts) AS view_ts_ms, m.view_value
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.event_id = p.event_id
 ORDER BY p.event_id
+""",
+    "token_entropy_per_source": f"""
+WITH {_TOK_CTE},
+cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks JOIN documents USING (doc_id) GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source)
+SELECT cnt.source,
+       CAST(first(t) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(-sum(c * CAST(floor(ln(c / t) * 1000000000.0e0) AS BIGINT))
+            AS BIGINT) AS entropy_fp_sum
+FROM cnt JOIN tot ON tot.source = cnt.source
+GROUP BY cnt.source ORDER BY cnt.source
 """,
     "events_stream_hll": """
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

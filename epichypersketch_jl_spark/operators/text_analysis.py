@@ -151,6 +151,69 @@ def bm25_scores(
     return base.select(*cols, score.alias("score"))
 
 
+def token_entropy(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Shannon entropy of the token (or any value) distribution, overall
+    or per group: H = -sum p ln p with p = c_v / T — the corpus-diversity
+    diagnostic (a source whose entropy collapses is repeating itself;
+    compare against ln(n_distinct), the maximum).
+
+    Returns (group?, n_values: long, n_distinct: long, entropy_fp_sum:
+    long, entropy: double).  Same exactness discipline as the bigram LM:
+    the per-distinct-value term ln(c/T) quantizes to 1e-9 fixed point
+    BEFORE the weighted integer sum, so entropy_fp_sum is order-free and
+    SQL-recomputable; entropy = -entropy_fp_sum / (T * 1e9).  (c·lp fits
+    int64 while c·ln(T/c) < ~9e9, i.e. any group below ~4e8 values —
+    beyond that, drop the quantization scale.)  Pure Catalyst: explode,
+    two aggregates, no Python."""
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+    v = F.explode(value_col) if is_list else F.col(value_col)
+    gexpr = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("None"))
+        if group_col is not None
+        else F.lit("__all__")
+    )
+    vals = df.select(gexpr.alias("group"), v.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    cnt = vals.groupBy("group", "v").agg(F.count("*").alias("c"))
+    tot = vals.groupBy("group").agg(F.count("*").alias("t"))
+    term = cnt.join(tot, "group").select(
+        "group",
+        "c",
+        "t",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+                * F.lit(1000000000.0)
+            )
+        ).alias("clp"),
+    )
+    out = term.groupBy("group").agg(
+        F.first("t").alias("n_values"),
+        F.count("*").alias("n_distinct"),
+        (-F.sum("clp")).alias("entropy_fp_sum"),
+    )
+    out = out.select(
+        "group",
+        "n_values",
+        "n_distinct",
+        "entropy_fp_sum",
+        (
+            F.col("entropy_fp_sum")
+            / (F.col("n_values") * F.lit(1000000000.0))
+        ).alias("entropy"),
+    )
+    if group_col is not None:
+        return out.withColumnRenamed("group", group_col)
+    return out.drop("group")
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp_md5, fp_sorted_md5): exact content fingerprint and a
     word-order-insensitive variant (md5 of sorted words)."""

@@ -787,3 +787,34 @@ class TestBigramLogprob:
         df = spark.createDataFrame([("a", [1, 2])], "doc_id string, tokens array<int>")
         with _pytest.raises(InputError):
             bigram_logprob(df)
+
+
+class TestTokenEntropy:
+    def test_hand_computed_and_extremes(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.text_analysis import token_entropy
+
+        df = spark.createDataFrame(
+            [("u", x) for x in [1, 2, 3, 4]]          # uniform: H = ln 4
+            + [("d", 7)] * 5                            # degenerate: H = 0
+            + [("m", 1), ("m", 1), ("m", 2)],           # H = -(2/3)ln(2/3)-(1/3)ln(1/3)
+            "g string, v long",
+        )
+        out = {r.g: r for r in token_entropy(df, "v", group_col="g").collect()}
+        assert abs(out["u"].entropy - math.log(4)) < 1e-9
+        assert out["d"].entropy == 0.0 and out["d"].n_distinct == 1
+        want = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+        assert abs(out["m"].entropy - want) < 1e-9
+        assert out["m"].n_values == 3
+        # fixed-point sum is the integer the floats derive from
+        assert out["u"].entropy_fp_sum == -4 * math.floor(math.log(0.25) * 1e9)
+
+    def test_ungrouped_and_arrays(self, spark):
+        from epichypersketch_jl_spark.operators.text_analysis import token_entropy
+
+        df = spark.createDataFrame(
+            [([1, 2],), ([2, None],)], "v array<long>"
+        )
+        (row,) = token_entropy(df, "v").collect()
+        assert row.n_values == 3 and row.n_distinct == 2  # null dropped
