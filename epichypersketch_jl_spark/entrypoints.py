@@ -1157,6 +1157,17 @@ def q_token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_token_kl_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the pooled corpus token distribution
+    (text_analysis.token_kl_vs_corpus) — the drift diagnostic.  Same
+    fixed-point-before-sum discipline; the integer sums hash-match."""
+    from .operators.text_analysis import token_kl_vs_corpus
+
+    seq = _seq(spark, sf_dir)
+    out = token_kl_vs_corpus(seq, "tokens", "source")
+    return out.select("source", "n_values", "kl_fp_sum").orderBy("source")
+
+
 def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram log-probability scoring (operators/lm.py) — the
     perplexity-style fluency gate.  Per-pair ln values quantize to 1e-9
@@ -1363,6 +1374,7 @@ QUERIES = {
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "events_stream_hll": q_events_stream_hll,
     "token_entropy_per_source": q_token_entropy_per_source,
+    "token_kl_per_source": q_token_kl_per_source,
 }
 
 # ------------------------------------------------------------------- oracles
@@ -1961,6 +1973,26 @@ SELECT cnt.source,
        CAST(-sum(c * CAST(floor(ln(c / t) * 1000000000.0e0) AS BIGINT))
             AS BIGINT) AS entropy_fp_sum
 FROM cnt JOIN tot ON tot.source = cnt.source
+GROUP BY cnt.source ORDER BY cnt.source
+""",
+    "token_kl_per_source": f"""
+WITH {_TOK_CTE},
+cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks JOIN documents USING (doc_id) GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY source),
+corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM cnt GROUP BY tok),
+tall AS (SELECT CAST(sum(c) AS BIGINT) AS t_all FROM cnt)
+SELECT cnt.source,
+       CAST(first(tot.t) AS BIGINT) AS n_values,
+       CAST(sum(c * CAST(floor(ln((c / tot.t) / (cc / t_all))
+                               * 1000000000.0e0) AS BIGINT)) AS BIGINT)
+         AS kl_fp_sum
+FROM cnt
+JOIN tot ON tot.source = cnt.source
+JOIN corpus ON corpus.tok = cnt.tok
+CROSS JOIN tall
 GROUP BY cnt.source ORDER BY cnt.source
 """,
     "events_stream_hll": """

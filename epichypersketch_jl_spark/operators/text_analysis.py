@@ -214,6 +214,69 @@ def token_entropy(
     return out.drop("group")
 
 
+def token_kl_vs_corpus(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """KL divergence of each group's token distribution from the pooled
+    corpus distribution: KL(p_g || q) = sum_v p ln(p/q) with p = c/t
+    (group) and q = C/T (corpus) — the drift diagnostic that catches a
+    filter, a split, or an ingest source skewing the token distribution.
+    Always finite: the corpus pool contains every group's tokens, so
+    q > 0 wherever p > 0.
+
+    Returns (group, n_values: long, kl_fp_sum: long, kl: double) with
+    the same order-free fixed-point discipline as token_entropy: the
+    per-distinct-value term ln((c/t)/(C/T)) quantizes to 1e-9 fixed
+    point before the weighted integer sum, so kl_fp_sum is
+    SQL-recomputable; kl = kl_fp_sum / (t * 1e9)."""
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+    v = F.explode(value_col) if is_list else F.col(value_col)
+    gexpr = F.coalesce(F.col(group_col).cast("string"), F.lit("None"))
+    vals = df.select(gexpr.alias("group"), v.alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    cnt = vals.groupBy("group", "v").agg(F.count("*").alias("c"))
+    tot = vals.groupBy("group").agg(F.count("*").alias("t"))
+    corpus = vals.groupBy("v").agg(F.count("*").alias("cc"))
+    t_all = vals.count()
+    term = (
+        cnt.join(tot, "group")
+        .join(corpus, "v")  # vocab-sized; AQE broadcasts while it fits
+        .select(
+            "group",
+            "c",
+            "t",
+            (
+                F.col("c")
+                * F.floor(
+                    F.log(
+                        (F.col("c").cast("double") / F.col("t").cast("double"))
+                        / (F.col("cc").cast("double") / F.lit(float(t_all)))
+                    )
+                    * F.lit(1000000000.0)
+                )
+            ).alias("clp"),
+        )
+    )
+    return (
+        term.groupBy("group")
+        .agg(
+            F.first("t").alias("n_values"),
+            F.sum("clp").alias("kl_fp_sum"),
+        )
+        .select(
+            F.col("group").alias(group_col),
+            "n_values",
+            "kl_fp_sum",
+            (
+                F.col("kl_fp_sum") / (F.col("n_values") * F.lit(1000000000.0))
+            ).alias("kl"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp_md5, fp_sorted_md5): exact content fingerprint and a
     word-order-insensitive variant (md5 of sorted words)."""

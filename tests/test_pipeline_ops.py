@@ -818,3 +818,29 @@ class TestTokenEntropy:
         )
         (row,) = token_entropy(df, "v").collect()
         assert row.n_values == 3 and row.n_distinct == 2  # null dropped
+
+
+class TestTokenKL:
+    def test_identical_and_skewed_groups(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.text_analysis import (
+            token_kl_vs_corpus,
+        )
+
+        # g1 and g2 identical distributions -> p == q -> every term ln(1)=0
+        df = spark.createDataFrame(
+            [("g1", v) for v in [1, 1, 2]] + [("g2", v) for v in [1, 1, 2]],
+            "g string, v long",
+        )
+        out = {r.g: r for r in token_kl_vs_corpus(df, "v", "g").collect()}
+        assert out["g1"].kl_fp_sum == 0 and out["g2"].kl_fp_sum == 0
+        # skewed group diverges positively from the pool
+        df2 = spark.createDataFrame(
+            [("a", 1)] * 9 + [("a", 2)] + [("b", 2)] * 9 + [("b", 1)],
+            "g string, v long",
+        )
+        o2 = {r.g: r for r in token_kl_vs_corpus(df2, "v", "g").collect()}
+        # exact KL: p=(0.9,0.1) vs q=(0.5,0.5)
+        want = 0.9 * math.log(0.9 / 0.5) + 0.1 * math.log(0.1 / 0.5)
+        assert abs(o2["a"].kl - want) < 1e-8 and abs(o2["b"].kl - want) < 1e-8
