@@ -189,3 +189,41 @@ class TestCorpusPipelineJob:
         assert counts["chunks_written"] == chunks.count()
         # every chunk respects the window bound
         assert chunks.filter(F.col("n_words") > 32).count() == 0
+
+
+class TestSketchStatsCLI:
+    def test_new_sketch_branches(self, dist_zip):
+        """kmv / topk / grouped-kll CLI branches produce JSON rows; tdigest
+        rejects --group-col with a legible error (plain python with
+        PYTHONPATH — same code path spark-submit --py-files exercises)."""
+        import json
+
+        env = dict(os.environ, PYTHONPATH=REPO)
+        base = [sys.executable, os.path.join(REPO, "jobs", "sketch_stats.py")]
+        ev = "/root/testdata/sf0.001/events.parquet"
+
+        r = subprocess.run(
+            base + ["--input", ev, "--sketch", "kmv", "--column", "user_id",
+                    "--kmv-k", "32"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(x) for x in r.stdout.splitlines() if x.startswith("{")]
+        assert rows and "est_distinct" in rows[0]
+
+        r = subprocess.run(
+            base + ["--input", ev, "--sketch", "topk", "--column", "event_type",
+                    "--topk", "2"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(x) for x in r.stdout.splitlines() if x.startswith("{")]
+        assert len(rows) == 2 and {"item", "est_count"} <= set(rows[0])
+
+        r = subprocess.run(
+            base + ["--input", ev, "--sketch", "tdigest", "--column", "value",
+                    "--group-col", "event_type"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode != 0
+        assert "not supported for --sketch tdigest" in (r.stderr + r.stdout)
