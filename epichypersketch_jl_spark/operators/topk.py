@@ -8,25 +8,36 @@ full count table.
 
 Design (Spark-first, not a port):
 
-- map side (one ``mapInArrow`` pass): each task computes exact counts of
-  the values it saw — per group when a group column is given — fully
+- map side (one ``mapInArrow`` pass): each task computes counts of the
+  values it saw — per group when a group column is given — fully
   vectorized (argsort/lexsort + ``add.reduceat``; string values are
-  Arrow-dictionary-encoded so only distinct strings touch Python), then
+  Arrow-dictionary-encoded so only distinct strings touch Python), and
   truncates each (task, group) count table to a Misra-Gries summary of at
   most ``n_counters`` entries by subtracting the (n_counters+1)-th largest
   count ``d`` and dropping non-positive rows.  Each truncation removes at
   least ``(n_counters+1) * d`` occurrence mass, so the summed decrements
   per group obey  sum(d) <= N_group / (n_counters + 1)  — the classic
-  Misra-Gries bound, which the merge below PRESERVES (mergeable-summaries
-  construction: Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable
-  Summaries", PODS 2012, section 3).
-- merge side is pure Catalyst: summaries are plain rows, so
+  Misra-Gries bound, which both the *intermediate* truncations and the
+  merge below PRESERVE (mergeable-summaries construction: Agarwal,
+  Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries", PODS 2012,
+  section 3).  Truncation runs not just at stream end but whenever the
+  task accumulator exceeds ``map_rows_budget`` distinct rows, so per-task
+  memory is O(max(budget, groups_seen * n_counters)) — NOT O(distinct
+  values) — and a high-cardinality value column (URLs, user ids) at
+  100 TB cannot blow a worker: the summary stays a summary map-side too.
+- merge side is pure Catalyst and a SINGLE pass over the summaries:
   ``groupBy(group, item).sum(est)`` merges them (sum of underestimates is
   an underestimate; absent rows contribute their slice's ``d`` to the
-  error budget), decrement rows (item = NULL) aggregate to the per-group
-  ``err_bound``, and a window ``row_number`` takes the top-k.  Shuffle
-  volume is bounded by ``n_tasks * (n_counters + 1)`` rows per group —
-  never O(distinct values) — so the plan survives a 100-TB scan unchanged.
+  error budget); the decrement rows (item = NULL) fold into the per-group
+  ``err_bound`` via a window sum over the already-aggregated rows, so the
+  input scan and the Python kernel execute exactly once.  A window
+  ``row_number`` then takes the top-k.  Shuffle volume is bounded by
+  ``n_tasks * (n_counters + 1)`` rows per group — never O(distinct
+  values) — so the plan survives a 100-TB scan unchanged.
+
+NULL discipline: NULL values of ``value_col`` (and NULL elements inside
+array values) are dropped before counting, on every type path — matching
+``kmv_sketch_per_group``.  NULL group keys form their own group.
 
 Guarantees (any partitioning, any batch order):
   est_count <= exact_count <= est_count + err_bound       (per emitted row)
@@ -86,6 +97,7 @@ def approx_topk(
     k: int | None = 10,
     n_counters: int = 64,
     group_col: str | None = None,
+    map_rows_budget: int = 1 << 20,
 ) -> DataFrame:
     """Approximate top-k most frequent values of ``value_col`` (scalar
     long/int, scalar string, or array<int>), overall or per group.
@@ -95,20 +107,36 @@ def approx_topk(
     summary — every value whose merged estimate is positive).  Estimates
     never overcount; ``err_bound`` caps the undercount per group and is
     at most N_group / (n_counters + 1).
+
+    ``map_rows_budget`` caps the number of distinct (group, value) rows a
+    task accumulates before an intermediate Misra-Gries truncation — the
+    memory/accuracy dial for extreme-cardinality value columns.  NULL
+    values (and NULL array elements) are never counted.
     """
     if n_counters < 1:
         raise InputError(f"n_counters must be >= 1, got {n_counters}")
     if k is not None and k < 1:
         raise InputError(f"k must be >= 1 or None, got {k}")
+    if map_rows_budget < 1:
+        raise InputError(f"map_rows_budget must be >= 1, got {map_rows_budget}")
 
     vtype = df.schema[value_col].dataType.typeName()
     is_list = vtype == "array"
     is_str = vtype == "string"
     grouped = group_col is not None
+    # NULL discipline (matches kmv_sketch_per_group): NULL values never
+    # count as items.  array_compact drops NULL elements JVM-side.
+    vexpr = (
+        F.array_compact(F.col(value_col)).alias(value_col)
+        if is_list
+        else F.col(value_col)
+    )
     if grouped:
-        src = df.select(value_col, group_col)
+        src = df.select(vexpr, group_col)
     else:
-        src = df.select(value_col)
+        src = df.select(vexpr)
+    if not is_list:
+        src = src.where(F.col(value_col).isNotNull())
 
     item_sql = "string" if is_str else "long"
     summ_schema = f"group string, item {item_sql}, est long"
@@ -120,6 +148,7 @@ def approx_topk(
         ]
     )
     m = n_counters
+    budget = map_rows_budget
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # task-global dictionaries: only DISTINCT group names / string
@@ -145,6 +174,41 @@ def approx_topk(
         t_chunks: list[np.ndarray] = []
         v_chunks: list[np.ndarray] = []
         c_chunks: list[np.ndarray] = []
+        acc_rows = 0
+        # intermediate-truncation decrements: each flush of a group's
+        # table removes >= (m+1)*d mass, so these d's share the same
+        # N_group/(m+1) budget as the final one (PODS'12 mergeability)
+        dg_chunks: list[np.ndarray] = []
+        dd_chunks: list[np.ndarray] = []
+
+        def _flush(final: bool):
+            nonlocal t_chunks, v_chunks, c_chunks, acc_rows
+            t, v, c = _sum_by_key(
+                np.concatenate(t_chunks),
+                np.concatenate(v_chunks),
+                np.concatenate(c_chunks),
+            )
+            kt, kv, ke, dg, dd = _truncate_groups(t, v, c, m)
+            if len(dg):
+                dg_chunks.append(dg)
+                dd_chunks.append(dd)
+            if final:
+                return kt, kv, ke
+            if is_str and len(vnames) > len(kv):
+                # compact the string dictionary to surviving codes so it
+                # is bounded by the summary size, not distinct strings
+                uniq = np.unique(kv) if len(kv) else np.empty(0, dtype=np.int64)
+                remap = np.full(len(vnames), -1, dtype=np.int64)
+                remap[uniq] = np.arange(len(uniq))
+                kv = remap[kv]
+                kept_names = [vnames[i] for i in uniq]
+                vnames[:] = kept_names
+                vid_of.clear()
+                vid_of.update({nm: i for i, nm in enumerate(kept_names)})
+            t_chunks, v_chunks, c_chunks = [kt], [kv], [ke]
+            acc_rows = len(kt)
+            return None
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -175,14 +239,21 @@ def approx_topk(
             t_chunks.append(t)
             v_chunks.append(v)
             c_chunks.append(c)
+            acc_rows += len(t)
+            if acc_rows > budget:
+                _flush(final=False)
         if not t_chunks:
             return
-        t, v, c = _sum_by_key(
-            np.concatenate(t_chunks),
-            np.concatenate(v_chunks),
-            np.concatenate(c_chunks),
-        )
-        kt, kv, ke, dg, dd = _truncate_groups(t, v, c, m)
+        kt, kv, ke = _flush(final=True)
+        if dg_chunks:
+            # collapse repeated per-group decrements into one row each
+            dg, _, dd = _sum_by_key(
+                np.concatenate(dg_chunks),
+                np.concatenate(dg_chunks),
+                np.concatenate(dd_chunks),
+            )
+        else:
+            dg = dd = np.empty(0, dtype=np.int64)
 
         def _gname(i: int) -> str:
             return names[i] if grouped else _GROUP_ALL
@@ -201,17 +272,24 @@ def approx_topk(
             )
 
     summ = src.mapInArrow(fn, summ_schema)
-    err = (
-        summ.where(F.col("item").isNull())
-        .groupBy("group")
-        .agg(F.sum("est").alias("err_bound"))
+    # one aggregation merges both the item counters and the decrement
+    # rows (item = NULL); the per-group err_bound then falls out of a
+    # window sum over the already-tiny aggregated summary, so the input
+    # scan + Python kernel run exactly once (no self-join, no re-scan)
+    agg = summ.groupBy("group", "item").agg(F.sum("est").alias("est_count"))
+    wg = Window.partitionBy("group")
+    out = (
+        agg.withColumn(
+            "err_bound",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("item").isNull(), F.col("est_count"))
+                ).over(wg),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .where(F.col("item").isNotNull())
     )
-    cnt = (
-        summ.where(F.col("item").isNotNull())
-        .groupBy("group", "item")
-        .agg(F.sum("est").alias("est_count"))
-    )
-    out = cnt.join(err, "group", "left").na.fill({"err_bound": 0})
     if k is not None:
         w = Window.partitionBy("group").orderBy(
             F.col("est_count").desc(), F.col("item").asc()
