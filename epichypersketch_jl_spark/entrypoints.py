@@ -1227,6 +1227,31 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sample_rank")
 
 
+WSAMPLE_GLOBAL_K = 12
+
+
+def q_weighted_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED deterministic weighted sample (verdict r3 item 2): the
+    scale path is per-partition bottom-k pruning (mapInArrow, no shuffle)
+    + TakeOrderedAndProject over the tasks*k survivors — the full input
+    never crosses a SinglePartition exchange (pinned by
+    tests/test_plan_shapes.py).  Selection is still a pure function of
+    the data, so the oracle re-derives the FULL sample in SQL."""
+    from .operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=WSAMPLE_GLOBAL_K
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    ).orderBy("sample_rank")
+
+
 # KMV bottom-k sketch params: k=256 over ~1300 distinct custkeys per
 # priority engages the ESTIMATION regime (sketch full, est = (k-1)*P div
 # h_k); k=16 over 6-31 distinct tokens per document engages truncation for
@@ -1370,6 +1395,7 @@ QUERIES = {
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "weighted_sample_global": q_weighted_sample_global,
     "motif_pmi_k2": q_motif_pmi_k2,
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "events_stream_hll": q_events_stream_hll,
@@ -2088,6 +2114,30 @@ rk AS (
 )
 SELECT source, doc_id, n_chars, sample_rank FROM rk
 WHERE sample_rank <= {WSAMPLE_K} ORDER BY source, sample_rank
+""",
+    # ungrouped A-ES sample: same key derivation, global bottom-k
+    "weighted_sample_global": f"""
+WITH d AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+h AS (
+  SELECT doc_id, n_chars,
+         {_kmv_hash_sql('(CAST(doc_id AS BIGINT) + 0)')} AS hh
+  FROM d
+),
+key AS (
+  SELECT doc_id, n_chars,
+         -ln((hh + 1) / 2147483648.0e0) / CAST(n_chars AS DOUBLE) AS e
+  FROM h
+),
+rk AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY e ASC, doc_id ASC) AS sample_rank
+  FROM key
+)
+SELECT doc_id, n_chars, sample_rank FROM rk
+WHERE sample_rank <= {WSAMPLE_GLOBAL_K} ORDER BY sample_rank
 """,
     # FULL exact oracles for the KMV sketch: the hash (two quadratic
     # permutation rounds mod 2^31-1, sketches/kmv.py hash_sql) and the

@@ -92,3 +92,24 @@ class TestPlanShapes:
         plan = _plan(cosine_topk(emb, q, k=5))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_ungrouped_weighted_sample_no_single_partition_exchange(
+        self, spark, sf_dir
+    ):
+        """Ungrouped weighted_sample must never funnel the full input
+        through one task: the plan is per-partition bottom-k (MapInArrow,
+        no Exchange) + TakeOrderedAndProject over the tasks*k survivors —
+        no SinglePartition exchange node at any point."""
+        from epichypersketch_jl_spark.operators.sampling import weighted_sample
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = weighted_sample(docs, id_col="doc_id", weight_col="n_chars", k=7)
+        plan = _plan(out)
+        assert "SinglePartition" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        # and the grouped path shuffles by group, not to one partition
+        grouped = weighted_sample(
+            docs, id_col="doc_id", weight_col="n_chars", k=7, group_col="source"
+        )
+        gplan = _plan(grouped)
+        assert "SinglePartition" not in gplan, gplan
