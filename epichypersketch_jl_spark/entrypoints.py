@@ -307,11 +307,17 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 def _run_available_now(sess_df, name_prefix: str):
     """Run a streaming DataFrame to completion into a memory sink via an
-    availableNow trigger; returns the sink table name."""
-    import tempfile
+    availableNow trigger; returns the sink table name.  The checkpoint dir
+    honors `spark.epichypersketch.checkpointDir` (same conf as the batch
+    checkpointed build — on a real cluster set it to a shared filesystem)
+    and is removed when the run completes; a hung run raises instead of
+    scoring partial results."""
+    from .operators.sketch_build import delete_dir, resolve_checkpoint_dir
 
+    spark = sess_df.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory(prefix=f"ehs_{name_prefix}_ckpt_") as ckpt:
+    ckpt = resolve_checkpoint_dir(spark, f"ehs_{name_prefix}_ckpt_")
+    try:
         q = (
             sess_df.writeStream.format("memory")
             .queryName(name)
@@ -320,7 +326,13 @@ def _run_available_now(sess_df, name_prefix: str):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} did not finish within 600 s"
+            )
+    finally:
+        delete_dir(spark, ckpt)
     return name
 
 
@@ -1110,31 +1122,38 @@ def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed registers are bit-identical to a batch build by merge
     order-invariance, so the estimate carries the same 3·rsd bound check
     as hll_tokens_per_source, against an exact SQL-recomputable
-    companion.  Blob/checkpoint dirs are driver-local tempdirs — correct
-    in local mode, same caveat as the checkpointed motif query."""
-    import tempfile
-
+    companion.  Blob/checkpoint dirs resolve through
+    `spark.epichypersketch.checkpointDir` (the one conf shared with every
+    checkpointed path; driver-local tempdir fallback is local-mode-only)
+    and are removed on completion; a hung run raises rather than scoring
+    a partial sketch."""
+    from .operators.sketch_build import delete_dir, resolve_checkpoint_dir
     from .sketches.hll import HyperLogLog
     from .streaming.sketch_stream import StreamingAnySketchJob
 
     p = 14
     rsd = 1.04 / (2 ** (p / 2))
-    base = tempfile.mkdtemp(prefix="ehs_stream_hll_")
-    job = StreamingAnySketchJob(
-        lambda: HyperLogLog(p=p, seed=42),
-        lambda sk, b, st: sk.update_batch(
-            b.column("user_id").to_numpy(zero_copy_only=False)
-        ),
-        os.path.join(base, "blobs"),
-    )
-    stream = _events_stream(spark, sf_dir).select("user_id")
-    q = job.start(
-        stream,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        available_now=True,
-    )
-    q.awaitTermination(300)
-    est = int(round(job.current_sketch(spark).estimate()))
+    base = resolve_checkpoint_dir(spark, "ehs_stream_hll_")
+    try:
+        job = StreamingAnySketchJob(
+            lambda: HyperLogLog(p=p, seed=42),
+            lambda sk, b, st: sk.update_batch(
+                b.column("user_id").to_numpy(zero_copy_only=False)
+            ),
+            os.path.join(base, "blobs"),
+        )
+        stream = _events_stream(spark, sf_dir).select("user_id")
+        q = job.start(
+            stream,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_hll did not finish within 300 s")
+        est = int(round(job.current_sketch(spark).estimate()))
+    finally:
+        delete_dir(spark, base)
     ev = read_table(spark, sf_dir, "events")
     n_exact = ev.select(F.countDistinct("user_id")).first()[0]
     ok = abs(est - n_exact) <= max(3 * rsd * n_exact, 1.0)

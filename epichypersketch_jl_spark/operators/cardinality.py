@@ -330,11 +330,15 @@ def kmv_sketch_per_group(
         )
 
     cand = src.mapInArrow(partial, "group string, hs array<long>")
-    return cand.groupBy("group").agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
-        ).alias("hashes")
-    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("hs")))), 1, k
+    ).alias("hashes")
+    if group_col is None:
+        # global aggregate: one (possibly empty-array) row even on empty
+        # input, so the ungrouped empty contract matches hll_distinct's
+        # single-row answer instead of silently returning zero rows
+        return cand.agg(merged).select(F.lit("__all__").alias("group"), "hashes")
+    return cand.groupBy("group").agg(merged)
 
 
 def kmv_distinct(
@@ -356,7 +360,9 @@ def kmv_distinct(
     out = sk.select(
         "group",
         F.size("hashes").alias("n_kept"),
-        F.element_at("hashes", -1).alias("kth_hash"),
+        # try_element_at: the ungrouped empty-input row carries an empty
+        # array — kth_hash is NULL there (est_distinct falls back to 0)
+        F.try_element_at("hashes", F.lit(-1)).alias("kth_hash"),
     ).select(
         "group",
         "n_kept",

@@ -50,6 +50,7 @@ def kll_quantiles_grouped(
     *,
     k: int = 200,
     seed: int = 42,
+    map_groups_budget: int = 4096,
 ) -> DataFrame:
     """Per-group KLL quantile estimates: (group: string, q: double,
     est: double), one row per (group, quantile).
@@ -67,11 +68,20 @@ def kll_quantiles_grouped(
     KLL compaction is seeded but partition-count-dependent, so per-group
     estimates carry the published rank-error bound rather than
     partition-invariant bytes — the driver query pins them through the
-    same two-sided tie-aware rank check as the ungrouped KLL."""
+    same two-sided tie-aware rank check as the ungrouped KLL.
+
+    Map-side memory is bounded: a task holds at most ``map_groups_budget``
+    live per-group KLL objects; when a batch would exceed that, the
+    accumulated blobs are flushed downstream and the dictionary cleared
+    (KLL merge is associative, so multiple blobs per (task, group) merge
+    to the same sketch family — only shuffle volume grows, by one blob
+    per flushed group)."""
     from ..errors import InputError
 
     if not quantiles:
         raise InputError("kll_quantiles_grouped needs at least one quantile")
+    if map_groups_budget < 1:
+        raise InputError("map_groups_budget must be >= 1")
     qs = sorted(float(q) for q in quantiles)
     is_list = df.schema[value_col].dataType.typeName() == "array"
     v = F.explode(value_col) if is_list else F.col(value_col)
@@ -93,6 +103,21 @@ def kll_quantiles_grouped(
         tid_of: dict[str, int] = {}
         names: list[str] = []
         sketches: dict[int, KLL] = {}
+        arrow_schema = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
+
+        def _emit() -> pa.RecordBatch:
+            rb = pa.RecordBatch.from_pydict(
+                {
+                    "group": [names[t] for t in sketches],
+                    "sketch": [sk.to_bytes() for sk in sketches.values()],
+                },
+                schema=arrow_schema,
+            )
+            tid_of.clear()
+            names.clear()
+            sketches.clear()
+            return rb
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -108,15 +133,12 @@ def kll_quantiles_grouped(
                 if sk is None:
                     sk = sketches[tid] = KLL(k=k, seed=seed)
                 sk.update_batch(sv[s:e])
-        if not sketches:
-            return
-        yield pa.RecordBatch.from_pydict(
-            {
-                "group": [names[t] for t in sketches],
-                "sketch": [sk.to_bytes() for sk in sketches.values()],
-            },
-            schema=pa.schema([("group", pa.string()), ("sketch", pa.binary())]),
-        )
+            if len(sketches) > map_groups_budget:
+                # bound live per-group Python objects: flush partial
+                # blobs (merged downstream) and reset the dictionaries
+                yield _emit()
+        if sketches:
+            yield _emit()
 
     blobs = src.mapInArrow(build, blob_schema).repartition(F.col("group"))
     qarr = np.array(qs)

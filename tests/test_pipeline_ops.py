@@ -712,6 +712,50 @@ def test_kmv_distinct_ungrouped(spark):
     assert "group" not in row.asDict()
 
 
+def test_kmv_distinct_empty_contract(spark):
+    """Advice r3: ungrouped empty input answers one (0, NULL, 0) row —
+    same shape as hll_distinct — while grouped empty stays zero rows
+    (per-group semantics: no groups, no rows)."""
+    from epichypersketch_jl_spark.operators.cardinality import kmv_distinct
+
+    empty = spark.createDataFrame([], "v long")
+    (row,) = kmv_distinct(empty, "v", k=16).collect()
+    assert (row.n_kept, row.kth_hash, row.est_distinct) == (0, None, 0)
+    gempty = spark.createDataFrame([], "g string, v long")
+    assert kmv_distinct(gempty, "v", group_col="g", k=16).count() == 0
+
+
+def test_kll_grouped_flush_budget(spark):
+    """Advice r3: a tiny map_groups_budget forces mid-stream blob flushes;
+    per-group estimates must stay within the same rank bound because KLL
+    merge is associative over the extra partial blobs."""
+    import numpy as np
+
+    from epichypersketch_jl_spark.operators.quantiles import kll_quantiles_grouped
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"g{i % 40}", float(v))
+        for i, v in enumerate(rng.normal(size=8000))
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    got = kll_quantiles_grouped(
+        df, "v", "g", [0.0, 0.5, 1.0], k=256, map_groups_budget=3
+    ).collect()
+    assert len(got) == 120
+    vals = {}
+    for g, v in rows:
+        vals.setdefault(g, []).append(v)
+    for r in got:
+        sub = sorted(vals[r.g])
+        if r.q in (0.0, 1.0):
+            assert r.est == (sub[0] if r.q == 0.0 else sub[-1])
+        else:
+            lo = np.searchsorted(sub, r.est, side="left") / len(sub)
+            hi = np.searchsorted(sub, r.est, side="right") / len(sub)
+            assert lo <= 0.5 + 0.05 and hi >= 0.5 - 0.05, (r.g, r.est)
+
+
 class TestMotifPMI:
     def test_pmi_matches_hand_computation(self, spark):
         import math
