@@ -434,6 +434,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 30,
+    round_metrics: list | None = None,
 ) -> DataFrame:
     """Resolve a pair list (the output of ngram_jaccard_pairs /
     minhash_lsh_pairs / simhash_near_pairs) into connected components:
@@ -449,14 +450,20 @@ def connected_components(
     dataframe form, so label chains collapse geometrically and the loop
     converges in O(log diameter) rounds rather than O(diameter).  Labels
     only ever decrease and are bounded below by the component min, which
-    is a fixpoint, so termination is guaranteed; the early-exit check is
-    a cheap changed-row probe.  Each round's labels are eagerly
-    local-checkpointed: the pointer-jump self-join would otherwise DOUBLE
-    the logical plan every round (2^rounds plan nodes blows up the driver
-    long before the data does) — lineage truncation is load-bearing for
-    any iterative dataframe algorithm.  Per-round shuffle is proportional
-    to |E|, never |V|^2.  Duplicate-cluster graphs have tiny diameters,
-    so in practice this is 2-4 rounds.
+    is a fixpoint, so termination is guaranteed.  The early-exit check is
+    FREE in job terms: the previous round's label rides along through the
+    jump as `c_old`, the round's labels are lazily local-checkpointed,
+    and one count(c != c_old) both materializes the checkpoint and
+    answers "did anything change" — ONE Spark job per round, not a
+    materialize job plus a probe job.  Lineage truncation is load-bearing
+    for any iterative dataframe algorithm: the pointer-jump self-join
+    would otherwise DOUBLE the logical plan every round (2^rounds plan
+    nodes blows up the driver long before the data does).  Per-round
+    shuffle is proportional to |E|, never |V|^2.  Duplicate-cluster
+    graphs have tiny diameters, so in practice this is 2-4 rounds.
+
+    `round_metrics`, when given, receives one changed-label count per
+    executed round (diagnostics / tests).
     """
     from pyspark import StorageLevel
 
@@ -487,15 +494,16 @@ def connected_components(
                 F.col("a.v").alias("v"),
                 F.least(F.col("a.c"), F.coalesce(F.col("b.c"), F.col("a.c"))).alias("c"),
             )
-            .localCheckpoint(eager=True)
+            .join(labels.withColumnRenamed("c", "c_old"), "v")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("c", "c_old"), "v")
-            .filter(F.col("c") != F.col("c_old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        # the full count is the round's ONLY job: it materializes every
+        # partition of the lazy checkpoint (truncating lineage) and
+        # delivers the early-exit signal in the same pass
+        changed = jumped.filter(F.col("c") != F.col("c_old")).count()
+        if round_metrics is not None:
+            round_metrics.append(int(changed))
+        labels = jumped.select("v", "c")
         if changed == 0:
             break
     edges.unpersist()

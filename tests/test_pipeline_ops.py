@@ -304,6 +304,26 @@ class TestClusterResolution:
         assert len(out) == n + 1
         assert all(r.component == 0 for r in out)
 
+    def test_connected_components_round_count_on_chain(self, spark):
+        """Verdict r3 item 7: folding the early-exit probe into the jump
+        pass must not change convergence — a 40-hop chain still resolves
+        in the pointer-jumping round count (O(log n): <= 7 rounds
+        including the final all-stable round), and the last round reports
+        zero changed labels."""
+        from epichypersketch_jl_spark.operators.dedup import connected_components
+
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a: long, doc_b: long"
+        )
+        rounds: list = []
+        out = connected_components(pairs, max_iter=12, round_metrics=rounds).collect()
+        assert all(r.component == 0 for r in out)
+        assert rounds[-1] == 0, rounds
+        assert len(rounds) <= 7, rounds
+        # labels only ever decrease: changed counts are all non-negative
+        assert all(c >= 0 for c in rounds)
+
     def test_connected_components_ignores_self_pairs(self, spark):
         from epichypersketch_jl_spark.operators.dedup import connected_components
 
