@@ -1218,6 +1218,20 @@ def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_pairs", "logprob_fp_sum").orderBy("doc_id")
 
 
+def q_trigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TRIGRAM log-probability with interpolated (Jelinek-Mercer)
+    backoff, lambdas (0.7, 0.2, 0.1) — verdict r3 item 6.  The
+    interpolated probability is computed per DISTINCT triple with a
+    left-associative expression tree mirrored verbatim in the oracle,
+    then floor(ln(p)*1e9) quantizes before the per-doc integer sum —
+    the same order-free cross-engine parity as bigram_logprob."""
+    from .operators.lm import trigram_logprob
+
+    seq = _seq(spark, sf_dir, with_positions=True)
+    out = trigram_logprob(seq)
+    return out.select("doc_id", "n_triples", "logprob_fp_sum").orderBy("doc_id")
+
+
 PMI_MIN = 2000
 
 
@@ -1437,6 +1451,7 @@ QUERIES = {
     "weighted_sample_global": q_weighted_sample_global,
     "motif_pmi_k2": q_motif_pmi_k2,
     "bigram_logprob_docs": q_bigram_logprob_docs,
+    "trigram_logprob_docs": q_trigram_logprob_docs,
     "events_stream_hll": q_events_stream_hll,
     "token_entropy_per_source": q_token_entropy_per_source,
     "token_kl_per_source": q_token_kl_per_source,
@@ -2133,6 +2148,51 @@ SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(lp_fp) AS BIGINT) AS logprob_fp_sum
 FROM pairs p JOIN lut ON lut.a = p.a AND lut.b = p.b
 GROUP BY p.doc_id ORDER BY doc_id
+""",
+    "trigram_logprob_docs": """
+WITH dws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+pw AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+  FROM dws
+),
+pairs AS (
+  SELECT a.doc_id, a.wd AS a, b.wd AS b
+  FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+trips AS (
+  SELECT a.doc_id, a.wd AS a, b.wd AS b, c.wd AS c
+  FROM pw a
+  JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN pw c ON b.doc_id = c.doc_id AND c.pos = b.pos + 1
+),
+tri AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c_abc FROM trips GROUP BY a, b, c),
+ctx2 AS (SELECT a, b, CAST(sum(c_abc) AS BIGINT) AS c_ab FROM tri GROUP BY a, b),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_bc FROM pairs GROUP BY a, b),
+ctx1 AS (SELECT a, CAST(sum(c_bc) AS BIGINT) AS c_b FROM bi GROUP BY a),
+uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c_c FROM pw GROUP BY wd),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pw),
+lut AS (
+  SELECT tri.a, tri.b, tri.c,
+         CAST(floor(ln(
+           0.7e0 * (CAST(c_abc AS DOUBLE) / CAST(c_ab AS DOUBLE))
+           + 0.2e0 * (CAST(c_bc AS DOUBLE) / CAST(c_b AS DOUBLE))
+           + 0.1e0 * (CAST(c_c AS DOUBLE) / CAST(n AS DOUBLE))
+         ) * 1000000000.0e0) AS BIGINT) AS lp_fp
+  FROM tri
+  JOIN ctx2 ON ctx2.a = tri.a AND ctx2.b = tri.b
+  JOIN bi ON bi.a = tri.b AND bi.b = tri.c
+  JOIN ctx1 ON ctx1.a = tri.b
+  JOIN uni ON uni.wd = tri.c
+  CROSS JOIN tot
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(lp_fp) AS BIGINT) AS logprob_fp_sum
+FROM trips t JOIN lut ON lut.a = t.a AND lut.b = t.b AND lut.c = t.c
+GROUP BY t.doc_id ORDER BY doc_id
 """,
     # PMI: counts are exact recounts; the ln expression tree mirrors the
     # Spark side left-associatively (T and T2 fold in as BIGINT/BIGINT

@@ -106,3 +106,128 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def _adjacent_triples(
+    df: DataFrame, tokens_col: str, positions_col: str, id_col: str
+) -> DataFrame:
+    """(id, a, b, c): each doc's adjacent token triples in POSITION order
+    (same normalization as _adjacent_pairs).  Docs with fewer than 3
+    tokens are filtered."""
+    ordered = F.transform(
+        F.array_sort(F.arrays_zip(F.col(positions_col), F.col(tokens_col))),
+        lambda s: s[tokens_col],
+    )
+    n = F.size(F.col(tokens_col))
+    trips = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.struct(
+            F.element_at(ordered, i + 1).alias("a"),
+            F.element_at(ordered, i + 2).alias("b"),
+            F.element_at(ordered, i + 3).alias("c"),
+        ),
+    )
+    return (
+        df.filter(n >= 3)
+        .select(F.col(id_col), F.explode(trips).alias("t"))
+        .select(
+            id_col,
+            F.col("t.a").alias("a"),
+            F.col("t.b").alias("b"),
+            F.col("t.c").alias("c"),
+        )
+    )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    positions_col: str = "positions",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float] = (0.7, 0.2, 0.1),
+) -> DataFrame:
+    """Per-document trigram log-probability with INTERPOLATED BACKOFF
+    (Jelinek-Mercer): for each adjacent triple (a, b, c),
+
+        p(c | a, b) = l3 * c_abc/c_ab  +  l2 * c_bc/c_b  +  l1 * c_c/N
+
+    where c_abc counts the trigram corpus-wide, c_ab counts (a, b) in
+    non-final-pair position (so the trigram term normalizes), c_bc / c_b
+    are the corpus bigram model's counts (exactly bigram_logprob's), and
+    c_c / N is the unigram relative frequency.  Because every document's
+    trigram has a seen context by construction (the model is trained on
+    the corpus being scored), interpolation here smooths rather than
+    rescues — but the estimator is the standard one a held-out scorer
+    would use, and l1 > 0 guarantees p > 0 always.
+
+    Same exactness discipline as bigram_logprob: p is computed per
+    DISTINCT triple, floor(ln(p)*1e9) quantizes it to fixed point, and
+    only INTEGERS are summed per doc — order-free, partition-invariant,
+    reproducible in ANSI SQL.  The count tables are
+    O(min(V^3, corpus trigrams)) aggregated rows; AQE picks broadcast vs
+    shuffle for the LUT join.  Returns (id, n_triples: long,
+    logprob_fp_sum: long, avg_logprob: double); docs with fewer than 3
+    tokens are excluded.
+    """
+    for c in (tokens_col, positions_col, id_col):
+        if c not in df.columns:
+            raise InputError(f"trigram_logprob: input lacks column {c!r}")
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if min(l3, l2, l1) < 0 or abs(l3 + l2 + l1 - 1.0) > 1e-9 or l1 == 0:
+        raise InputError(
+            f"lambdas must be non-negative, sum to 1, and have l1 > 0: {lambdas}"
+        )
+    triples = _adjacent_triples(df, tokens_col, positions_col, id_col)
+    pairs = _adjacent_pairs(df, tokens_col, positions_col, id_col)
+    tri = triples.groupBy("a", "b", "c").agg(F.count("*").alias("c_abc"))
+    ctx2 = tri.groupBy("a", "b").agg(F.sum("c_abc").alias("c_ab"))
+    bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_bc"))
+    ctx1 = bi.groupBy("a").agg(F.sum("c_bc").alias("c_b"))
+    uni = (
+        df.select(F.explode(tokens_col).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("c_c"))
+    )
+    n_total = int(df.select(F.sum(F.size(tokens_col))).first()[0] or 0)
+    if n_total == 0:
+        raise InputError("trigram_logprob: corpus has no tokens")
+    # expression mirrors the SQL oracle term-for-term, left-associative:
+    # ((l3*p3 + l2*p2) + l1*p1)
+    p = (
+        F.lit(l3) * (F.col("c_abc").cast("double") / F.col("c_ab").cast("double"))
+        + F.lit(l2) * (F.col("c_bc").cast("double") / F.col("c_b").cast("double"))
+        + F.lit(l1) * (F.col("c_c").cast("double") / F.lit(float(n_total)))
+    )
+    lut = (
+        tri.join(ctx2, ["a", "b"])
+        .join(
+            bi.select(F.col("a").alias("b"), F.col("b").alias("c"), "c_bc"),
+            ["b", "c"],
+        )
+        .join(ctx1.select(F.col("a").alias("b"), "c_b"), "b")
+        .join(uni, "c")
+        .select(
+            "a",
+            "b",
+            "c",
+            F.floor(F.log(p) * F.lit(1000000000.0)).alias("lp_fp"),
+        )
+    )
+    return (
+        triples.join(lut, ["a", "b", "c"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.sum("lp_fp").alias("logprob_fp_sum"),
+        )
+        .select(
+            id_col,
+            "n_triples",
+            "logprob_fp_sum",
+            (
+                F.col("logprob_fp_sum")
+                / (F.col("n_triples") * F.lit(1000000000.0))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -853,6 +853,63 @@ class TestBigramLogprob:
             bigram_logprob(df)
 
 
+class TestTrigramLogprob:
+    def test_hand_computed_interpolation(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.lm import trigram_logprob
+
+        # doc a (position order): 1,2,3 -> trigram (1,2,3); pairs (1,2),(2,3)
+        # doc b: 1,2,3           -> same trigram/pairs
+        # doc c: 2,3             -> pair (2,3) only (no trigram)
+        df = spark.createDataFrame(
+            [
+                ("a", [1, 2, 3], [1, 2, 3], "s"),
+                ("b", [3, 1, 2], [3, 1, 2], "s"),
+                ("c", [2, 3], [1, 2], "s"),
+            ],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        out = {r.doc_id: r for r in trigram_logprob(df).collect()}
+        assert "c" not in out  # too short for trigrams
+        # counts: c_123=2, c_ab(1,2)=2; bigram (2,3): pairs are
+        # (1,2)x2,(2,3)x3 -> c_23=3, c_2(first)=3; unigram c_3=3, N=8
+        p = 0.7 * (2 / 2) + 0.2 * (3 / 3) + 0.1 * (3 / 8)
+        want = math.floor(math.log(p) * 1e9)
+        assert out["a"].n_triples == 1 and out["a"].logprob_fp_sum == want
+        assert out["b"].logprob_fp_sum == want
+
+    def test_partition_invariance(self, spark, sf_dir):
+        from epichypersketch_jl_spark.operators.lm import trigram_logprob
+        from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+        seq = documents_sequences(spark, sf_dir, with_positions=True)
+        a = {
+            r.doc_id: r.logprob_fp_sum
+            for r in trigram_logprob(seq.repartition(3)).collect()
+        }
+        b = {
+            r.doc_id: r.logprob_fp_sum
+            for r in trigram_logprob(seq.repartition(17)).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_bad_lambdas_raise(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.lm import trigram_logprob
+
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3], [1, 2, 3], "s")],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        with _pytest.raises(InputError):
+            trigram_logprob(df, lambdas=(0.9, 0.1, 0.0))  # l1 must be > 0
+        with _pytest.raises(InputError):
+            trigram_logprob(df, lambdas=(0.5, 0.2, 0.1))  # must sum to 1
+
+
 class TestTokenEntropy:
     def test_hand_computed_and_extremes(self, spark):
         import math
