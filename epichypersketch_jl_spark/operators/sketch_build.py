@@ -67,7 +67,11 @@ BLOB_SCHEMA = StructType(
 
 
 def merge_blob_bytes(a: bytes, b: bytes) -> bytes:
-    return from_bytes(a).merge(from_bytes(b)).to_bytes()
+    sk = from_bytes(a)
+    fast = getattr(sk, "merge_blob_inplace", None)
+    if fast is not None:
+        return fast(b).to_bytes()
+    return sk.merge(from_bytes(b)).to_bytes()
 
 
 def _make_build_fn(zero_fn: Callable[[], MergeableSketch], update_fn: UpdateFn, part_id_fn=None):
@@ -120,10 +124,16 @@ def build_sketch_distributed(
         if not rows:
             return zero_fn(), []
         sk = from_bytes(bytes(rows[0].sketch))
+        # blob-level fast path (CMS): adds the decompressed narrow table
+        # straight into the accumulator, no per-blob widening copy
+        fast = getattr(sk, "merge_blob_inplace", None)
         for r in rows[1:]:
-            sk = sk.merge_inplace(from_bytes(bytes(r.sketch))) if hasattr(
-                sk, "merge_inplace"
-            ) else sk.merge(from_bytes(bytes(r.sketch)))
+            if fast is not None:
+                fast(bytes(r.sketch))
+            elif hasattr(sk, "merge_inplace"):
+                sk = sk.merge_inplace(from_bytes(bytes(r.sketch)))
+            else:
+                sk = sk.merge(from_bytes(bytes(r.sketch)))
         metrics = [{k: v for k, v in r.asDict().items() if k != "sketch"} for r in rows]
         return sk, metrics
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
