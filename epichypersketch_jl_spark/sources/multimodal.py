@@ -1,11 +1,15 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched kernels.
 
-The decode step itself is STUBBED (this container ships no image/audio
-codecs): `decode_image` raises NotImplementedError unless a deterministic
-fake decoder is requested.  Everything around it — schema, batching, UDF
-signatures, frame sampling, feature extraction shape — is real and tested,
-so swapping in PIL/torchaudio later only replaces `_fake_decode`.
+The decode step probes for a REAL codec at runtime (Pillow, if the
+deployment installs it): `decode_features(..., fake=False)` decodes
+payloads as images via PIL and emits a deterministic grayscale-thumbnail
+feature vector.  When no codec is installed (this container ships none),
+the probe fails and `decode_image` raises NotImplementedError — the
+deterministic `_fake_decode` remains the always-available fallback.
+Everything around the decode — schema, batching, UDF signatures, frame
+sampling, feature extraction shape — is identical on both paths, so the
+fake-path tests pin the plumbing the real path rides on.
 """
 
 from __future__ import annotations
@@ -65,12 +69,39 @@ def _fake_decode(blobs: list[bytes], dim: int, seed: int) -> np.ndarray:
     return out * 2.0 - 1.0
 
 
-def decode_image(*_a, **_k):
-    """Real codec decode — unavailable in this environment by design."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed in this container; "
-        "use decode_features(..., fake=True) for the deterministic stub"
-    )
+def _pil_available() -> bool:
+    """Runtime probe for a real image codec (Pillow)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_decode(blobs: list[bytes], dim: int, seed: int) -> np.ndarray:
+    """Real decode via Pillow: each payload is opened as an image,
+    converted to grayscale, resized to a (dim, 1) strip with bilinear
+    resampling, and scaled to [-1, 1] — a deterministic, codec-real
+    fixed-width feature.  `seed` is unused here (kept for signature
+    parity with _fake_decode)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    out = np.zeros((len(blobs), dim), dtype=np.float32)
+    for i, b in enumerate(blobs):
+        img = Image.open(BytesIO(b)).convert("L").resize((dim, 1), Image.BILINEAR)
+        out[i] = np.asarray(img, dtype=np.float32).ravel() / 127.5 - 1.0
+    return out
+
+
+def decode_image(*args, **kwargs):
+    """Real codec decode: delegates to Pillow when installed, raises
+    NotImplementedError otherwise (this container ships no codecs)."""
+    if not _pil_available():
+        raise NotImplementedError(
+            "no image codec installed (Pillow probe failed); "
+            "use decode_features(..., fake=True) for the deterministic stub"
+        )
+    return _pil_decode(*args, **kwargs)
 
 
 def decode_features(
@@ -82,11 +113,14 @@ def decode_features(
     seed: int = 42,
     fake: bool = True,
 ) -> DataFrame:
-    """(doc_id, features: array<float>, n_bytes) — Arrow-batched 'decode' +
-    feature extraction.  Batch shape and schema are the real contract; only
-    the pixel decode is faked (see module docstring)."""
-    if not fake:
-        decode_image()
+    """(doc_id, features: array<float>, n_bytes) — Arrow-batched decode +
+    feature extraction.  `fake=True` uses the deterministic hash-based
+    stand-in; `fake=False` decodes real images via the Pillow probe
+    (NotImplementedError when no codec is installed).  Batch shape and
+    schema are identical on both paths."""
+    if not fake and not _pil_available():
+        decode_image()  # raises with the probe message
+    decode = _fake_decode if fake else _pil_decode
     src = df.select(id_col, payload_col)
     out_schema = StructType(
         [
@@ -99,7 +133,7 @@ def decode_features(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             blobs = batch.column(payload_col).to_pylist()
-            feats = _fake_decode(blobs, dim, seed)
+            feats = decode(blobs, dim, seed)
             n = feats.shape[0]
             offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
             feat_col = pa.ListArray.from_arrays(

@@ -33,9 +33,48 @@ class TestMultimodal:
         assert np.array_equal(a, b)
         assert (feats["n_bytes"] > 0).all()
 
-    def test_real_decode_is_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            decode_image()
+    def test_real_decode_probe(self):
+        """Codec probe contract: raises NotImplementedError when Pillow is
+        absent; decodes real image bytes when present (auto-selected)."""
+        from epichypersketch_jl_spark.sources.multimodal import _pil_available
+
+        if not _pil_available():
+            with pytest.raises(NotImplementedError):
+                decode_image()
+            return
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+        feats = decode_image([buf.getvalue()], 16, 0)
+        assert feats.shape == (1, 16)
+        assert np.isfinite(feats).all() and (np.abs(feats) <= 1.0).all()
+
+    def test_real_decode_through_spark(self, spark):
+        """fake=False end-to-end: auto-skips without a codec, exercises the
+        identical mapInArrow plumbing with one when installed."""
+        from epichypersketch_jl_spark.sources.multimodal import _pil_available
+
+        if not _pil_available():
+            pytest.skip("Pillow not installed in this container")
+        from io import BytesIO
+
+        from PIL import Image
+
+        def png(color):
+            buf = BytesIO()
+            Image.new("RGB", (4, 4), color).save(buf, format="PNG")
+            return buf.getvalue()
+
+        df = spark.createDataFrame(
+            [(1, png((0, 0, 0))), (2, png((255, 255, 255)))],
+            "doc_id long, payload binary",
+        )
+        out = decode_features(df, dim=8, fake=False).toPandas()
+        assert len(out) == 2
+        assert out["features"].map(len).eq(8).all()
 
     def test_frame_sampling(self, spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents").limit(10)
