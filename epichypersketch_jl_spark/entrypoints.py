@@ -1347,6 +1347,53 @@ def q_kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_SETOPS_K = 128
+TOPK_DISTINCT_N = 8
+
+
+def q_topk_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Superspreader' selection (operators/cardinality.
+    topk_distinct_groups): the 8 sources with the largest approximate
+    distinct-token count, ranked by the KMV estimator.  Sketch
+    composition with a FULL oracle: the per-group bottom-k, the integer
+    estimator, AND the ranking are all recomputed verbatim in SQL —
+    the approximate ordering itself is hash-matched, which an HLL-ranked
+    top-k cannot offer."""
+    from .operators.cardinality import topk_distinct_groups
+
+    seq = _seq(spark, sf_dir)
+    out = topk_distinct_groups(
+        seq, "tokens", "source", k_sketch=KMV_SETOPS_K, n=TOPK_DISTINCT_N
+    )
+    return out.select(
+        "source",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("est_distinct").cast("long").alias("est_distinct"),
+    ).orderBy(F.col("est_distinct").desc(), "source")
+
+
+def q_kmv_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise union/intersection cardinality estimates between the
+    sources' token sets (operators/cardinality.kmv_set_ops): the union of
+    two bottom-k sketches re-truncated to k IS the union's KMV sketch, so
+    est_union uses the integer estimator verbatim and est_intersection =
+    n_common * est_union div k_used — every estimate SQL-recomputable,
+    full value-hash oracle over all 190 source pairs."""
+    from .operators.cardinality import kmv_set_ops, kmv_sketch_per_group
+
+    seq = _seq(spark, sf_dir)
+    sk = kmv_sketch_per_group(seq, "tokens", group_col="source", k=KMV_SETOPS_K)
+    out = kmv_set_ops(sk, k=KMV_SETOPS_K)
+    return out.select(
+        F.col("group_1").alias("source_1"),
+        F.col("group_2").alias("source_2"),
+        "k_used",
+        "n_common",
+        F.col("est_union").cast("long").alias("est_union"),
+        F.col("est_intersection").cast("long").alias("est_intersection"),
+    ).orderBy("source_1", "source_2")
+
+
 def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-set Jaccard similarity estimated from KMV sketches
     (Beyer et al. 2007: est_J = |bottom_k(A∪B) ∩ A_k ∩ B_k| / k_used),
@@ -1444,6 +1491,8 @@ QUERIES = {
     "topk_heavy_users": q_topk_heavy_users,
     "kmv_distinct_custkeys": q_kmv_distinct_custkeys,
     "kmv_doc_jaccard": q_kmv_doc_jaccard,
+    "topk_distinct_sources": q_topk_distinct_sources,
+    "kmv_source_set_ops": q_kmv_source_set_ops,
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
@@ -2306,6 +2355,81 @@ SELECT est.grp AS o_orderpriority, n_kept, kth_hash, est_distinct, n_exact,
          <= 9 * n_exact * n_exact AS within_3rse
 FROM est JOIN ex ON est.grp = ex.grp
 ORDER BY o_orderpriority
+""",
+    # superspreader ranking: bottom-k, estimator, AND the top-n ordering
+    # all recomputed exactly
+    "topk_distinct_sources": f"""
+WITH {_TOK_CTE},
+st AS (
+  SELECT DISTINCT d.source, t.tok
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+hs AS (SELECT DISTINCT source, {_kmv_hash_sql('tok')} AS h FROM st),
+rk AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+  FROM rk WHERE rn <= {KMV_SETOPS_K} GROUP BY source
+)
+SELECT source, n_kept,
+       CASE WHEN n_kept < {KMV_SETOPS_K} THEN n_kept
+            ELSE {(KMV_SETOPS_K - 1) * 2147483647} // kth END AS est_distinct
+FROM agg
+ORDER BY est_distinct DESC, source
+LIMIT {TOPK_DISTINCT_N}
+""",
+    # pairwise set-op estimates: union-of-sketches bottom-k is the union's
+    # sketch; intersection via n_common * est_union // k_used
+    "kmv_source_set_ops": f"""
+WITH {_TOK_CTE},
+st AS (
+  SELECT DISTINCT d.source, t.tok
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+hs AS (SELECT DISTINCT source, {_kmv_hash_sql('tok')} AS h FROM st),
+rk AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (SELECT source, h FROM rk WHERE rn <= {KMV_SETOPS_K}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uh AS (
+  SELECT p.s1, p.s2, s.h
+  FROM pairs p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+  GROUP BY p.s1, p.s2, s.h
+),
+uk AS (
+  SELECT s1, s2, h, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+  FROM uh
+),
+ukk AS (SELECT s1, s2, h FROM uk WHERE rn <= {KMV_SETOPS_K}),
+ku AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth
+  FROM ukk GROUP BY s1, s2
+),
+nc AS (
+  SELECT u.s1, u.s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM ukk u
+  JOIN sk sa ON sa.source = u.s1 AND sa.h = u.h
+  JOIN sk sb ON sb.source = u.s2 AND sb.h = u.h
+  GROUP BY u.s1, u.s2
+),
+est AS (
+  SELECT ku.s1, ku.s2, ku.k_used, coalesce(nc.n_common, 0) AS n_common,
+         CASE WHEN ku.k_used < {KMV_SETOPS_K} THEN ku.k_used
+              ELSE {(KMV_SETOPS_K - 1) * 2147483647} // kth END AS est_union
+  FROM ku LEFT JOIN nc ON nc.s1 = ku.s1 AND nc.s2 = ku.s2
+)
+SELECT s1 AS source_1, s2 AS source_2, k_used, n_common, est_union,
+       CASE WHEN k_used = 0 THEN 0
+            ELSE n_common * est_union // k_used END AS est_intersection
+FROM est ORDER BY source_1, source_2
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},

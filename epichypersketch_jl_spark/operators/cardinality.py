@@ -376,6 +376,90 @@ def kmv_distinct(
     return out.drop("group")
 
 
+def topk_distinct_groups(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    k_sketch: int = 256,
+    n: int = 10,
+) -> DataFrame:
+    """'Superspreader' selection: the ``n`` groups with the LARGEST
+    approximate distinct count of ``value_col`` — the composition a
+    pipeline uses to find users touching the most distinct URLs, sources
+    with the widest vocabulary, keys fanning out hardest.
+
+    Sketch composition, not a new sketch: per-group KMV bottom-k
+    (bounded shuffle: tasks*k hashes per group, never row data) feeds the
+    integer-exact estimator, then global ranking runs through
+    ``orderBy().limit(n)`` — Spark plans TakeOrderedAndProject (local
+    top-n + merge), so no SinglePartition exchange touches the per-group
+    estimates either.  Ties break on group name ascending.  Because the
+    KMV estimate is pure Catalyst arithmetic, the whole answer — ranking
+    included — is exactly recomputable in ANSI SQL, unlike an HLL-ranked
+    equivalent."""
+    est = kmv_distinct(df, value_col, group_col=group_col, k=k_sketch)
+    return est.orderBy(
+        F.col("est_distinct").desc(), F.col(group_col).asc()
+    ).limit(n)
+
+
+def kmv_set_ops(
+    sketches: DataFrame, *, k: int, same_block_col: str | None = None
+) -> DataFrame:
+    """Pairwise SET-OPERATION cardinality estimates between KMV sketches:
+    (group_1, group_2, k_used, n_common, est_union, est_intersection).
+
+    The union of two bottom-k sketches, re-truncated to its k smallest
+    hashes, IS the KMV sketch of the union set — so the integer-exact
+    estimator applies verbatim: est_union = (k-1)*P div kth when full,
+    else the kept count.  est_intersection = n_common * est_union div
+    k_used (Beyer et al. 2007: rho-hat * |U|-hat, with integer division
+    so the estimate — like everything else here — is exactly
+    recomputable in ANSI SQL).  Input is kmv_sketch_per_group output;
+    block with `same_block_col` at scale (all-pairs without a blocking
+    key is the anti-pattern the LSH operators exist to avoid).  Pure
+    Catalyst end to end: arrays join, sort, and slice JVM-side."""
+    from ..sketches.kmv import P
+
+    cols = ["group", "hashes"] + ([same_block_col] if same_block_col else [])
+    a = sketches.select(*cols).alias("a")
+    b = sketches.select(*cols).alias("b")
+    cond = F.col("a.group") < F.col("b.group")
+    if same_block_col:
+        cond = cond & (F.col(f"a.{same_block_col}") == F.col(f"b.{same_block_col}"))
+    out_cols = (
+        [F.col(f"a.{same_block_col}").alias(same_block_col)] if same_block_col else []
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("a.hashes"), F.col("b.hashes"))), 1, k
+    )
+    inter = F.array_intersect(F.col("a.hashes"), F.col("b.hashes"))
+    step = a.join(b, cond).select(
+        *out_cols,
+        F.col("a.group").alias("group_1"),
+        F.col("b.group").alias("group_2"),
+        F.size(union_k).cast("long").alias("k_used"),
+        F.size(F.array_intersect(union_k, inter)).cast("long").alias("n_common"),
+        F.try_element_at(union_k, F.lit(-1)).alias("kth_u"),
+    )
+    return (
+        step.withColumn(
+            "est_union",
+            F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+                F.expr(f"{(k - 1) * P} div kth_u")
+            ),
+        )
+        .withColumn(
+            "est_intersection",
+            F.when(F.col("k_used") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("n_common * est_union div k_used")
+            ),
+        )
+        .drop("kth_u")
+    )
+
+
 def kmv_jaccard_pairs(
     sketches: DataFrame, *, k: int, same_block_col: str | None = None
 ) -> DataFrame:

@@ -732,6 +732,61 @@ def test_kmv_distinct_ungrouped(spark):
     assert "group" not in row.asDict()
 
 
+class TestKMVCompositions:
+    def test_topk_distinct_groups_ranks_by_distinct(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import (
+            topk_distinct_groups,
+        )
+
+        # group gN has 10*(N+1) distinct values; k_sketch > max distinct
+        # puts every group in the exact regime, so ranking is exact
+        rows = [
+            (f"g{g}", g * 1000 + v) for g in range(6) for v in range(10 * (g + 1))
+        ] * 3  # duplicates must not affect distinct counts
+        df = spark.createDataFrame(rows, "grp string, val long").repartition(5)
+        out = topk_distinct_groups(df, "val", "grp", k_sketch=128, n=3).collect()
+        assert [(r.grp, r.est_distinct) for r in out] == [
+            ("g5", 60),
+            ("g4", 50),
+            ("g3", 40),
+        ]
+
+    def test_kmv_set_ops_exact_regime(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import (
+            kmv_set_ops,
+            kmv_sketch_per_group,
+        )
+
+        # a = {0..49}, b = {25..74}: union 75, intersection 25.  k larger
+        # than the union: sketches are complete, estimates are exact.
+        rows = [("a", v) for v in range(50)] + [("b", v) for v in range(25, 75)]
+        df = spark.createDataFrame(rows, "grp string, val long")
+        sk = kmv_sketch_per_group(df, "val", group_col="grp", k=256)
+        (r,) = kmv_set_ops(sk, k=256).collect()
+        assert (r.group_1, r.group_2) == ("a", "b")
+        assert r.est_union == 75 and r.est_intersection == 25
+        assert r.n_common == 25 and r.k_used == 75
+
+    def test_kmv_set_ops_estimation_regime_bound(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import (
+            kmv_set_ops,
+            kmv_sketch_per_group,
+        )
+
+        # truncation engaged: k=64 over |union| = 3000, overlap 1000
+        rows = [("a", v) for v in range(2000)] + [
+            ("b", v) for v in range(1000, 4000)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long").repartition(7)
+        sk = kmv_sketch_per_group(df, "val", group_col="grp", k=64)
+        (r,) = kmv_set_ops(sk, k=64).collect()
+        assert r.k_used == 64
+        # 3/sqrt(k-1) ~ 0.38 relative bound on the union estimate
+        assert abs(r.est_union - 3000) <= 3 / (63**0.5) * 3000
+        # intersection estimate within a loose compound bound
+        assert 300 <= r.est_intersection <= 2200
+
+
 def test_kmv_distinct_empty_contract(spark):
     """Advice r3: ungrouped empty input answers one (0, NULL, 0) row —
     same shape as hll_distinct — while grouped empty stays zero rows
