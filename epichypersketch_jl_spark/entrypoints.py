@@ -392,6 +392,81 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=out.schema)
 
 
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) window aggregation through a real availableNow
+    streaming run: 2-hour windows every 1 hour, so each event lands in
+    exactly two windows.  Same append-mode finalization contract as
+    events_hourly_stream — only windows whose end the watermark passed
+    are emitted, and the oracle applies the identical cutoff after
+    expanding each event into its two covering windows."""
+    from .streaming.windows import windowed_event_counts
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        stream = _events_stream(spark, sf_dir).select("ts", "event_type")
+        agg = windowed_event_counts(
+            stream, window="2 hours", slide="1 hour", watermark="2 hours"
+        )
+        name = _run_available_now(agg, "ehs_sliding")
+        out = (
+            spark.table(name)
+            .select(
+                F.unix_millis("window_start").alias("window_start_ms"),
+                F.unix_millis("window_end").alias("window_end_ms"),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("window_start_ms", "event_type")
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time dedup (streaming/dedup.dedup_stream,
+    dropDuplicatesWithinWatermark): the events stream unioned with itself
+    — every event delivered twice, the at-least-once scenario — deduped
+    on event_id with watermark-bounded state.  Because the duplicate rows
+    are bit-identical, the surviving set is deterministic: exactly the
+    distinct events, which the oracle recounts directly."""
+    from .streaming.dedup import dedup_stream
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        s1 = _events_stream(spark, sf_dir)
+        s2 = _events_stream(spark, sf_dir)
+        doubled = s1.unionByName(s2).select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        deduped = dedup_stream(
+            doubled, ["event_id"], ts_col="ts", watermark="2 hours"
+        )
+        name = _run_available_now(deduped, "ehs_sdedup")
+        out = (
+            spark.table(name)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_millis("ts").alias("ts_ms"),
+                F.round(F.col("value") * 100).cast("long").alias("value_x100"),
+            )
+            .orderBy("event_id")
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
 def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful STREAMING operator (applyInPandasWithState
     sessionization, streaming/stateful.py), driven end-to-end through a real
@@ -1465,6 +1540,8 @@ QUERIES = {
     "events_user_stats": q_events_user_stats,
     "events_sessionized": q_events_sessionized,
     "events_hourly_stream": q_events_hourly_stream,
+    "events_sliding_stream": q_events_sliding_stream,
+    "events_stream_dedup": q_events_stream_dedup,
     "events_stream_join": q_events_stream_join,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1709,6 +1786,31 @@ FROM e, cut
 WHERE window_end_ms <= wm
 GROUP BY window_start_ms, window_end_ms, event_type
 ORDER BY window_start_ms, event_type
+""",
+    # sliding 2h/1h windows: each event expands into its two covering
+    # windows; same finalized-window cutoff as the tumbling oracle
+    "events_sliding_stream": f"""
+WITH starts AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) - offs AS window_start_ms,
+         event_type
+  FROM events, (SELECT unnest([0, 3600000]) AS offs)
+),
+e AS (
+  SELECT window_start_ms, window_start_ms + 7200000 AS window_end_ms, event_type
+  FROM starts
+),
+cut AS (SELECT max(epoch_ms(ts)) - {HOURLY_WATERMARK_MS} AS wm FROM events)
+SELECT window_start_ms, window_end_ms, event_type, count(*) AS n_events
+FROM e, cut
+WHERE window_end_ms <= wm
+GROUP BY window_start_ms, window_end_ms, event_type
+ORDER BY window_start_ms, event_type
+""",
+    # streaming dedup of a doubled stream == the distinct events
+    "events_stream_dedup": """
+SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_x100
+FROM events ORDER BY event_id
 """,
     # gap sessionization: lag + cumulative-sum session ids at the operator's
     # ms granularity; each user's LAST session is never gap-closed by a

@@ -80,6 +80,40 @@ class TestStreamingWindows:
         assert (rel < 0.1).all()
 
 
+class TestStreamingDedup:
+    def test_doubled_stream_dedups_to_distinct(self, spark, event_stream, tmp_path):
+        from epichypersketch_jl_spark.streaming.dedup import dedup_stream
+
+        ev, stream = event_stream
+        doubled = stream.unionByName(stream).select("event_id", "ts")
+        out = dedup_stream(doubled, ["event_id"], watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select event_id from sdedup").toPandas()
+        spark.catalog.dropTempView("sdedup")
+        want = ev.select("event_id").toPandas()
+        assert sorted(got["event_id"]) == sorted(want["event_id"])
+
+    def test_guards(self, spark, event_stream):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.streaming.dedup import dedup_stream
+
+        _ev, stream = event_stream
+        with _pytest.raises(InputError):
+            dedup_stream(stream, [])
+        with _pytest.raises(InputError):
+            dedup_stream(stream, ["nope"])
+
+
 class TestStreamIntervalJoin:
     def test_multibatch_equals_batch_join(self, spark, sf_dir, tmp_path):
         """Stream-stream interval join across MULTIPLE micro-batches
