@@ -1469,6 +1469,43 @@ def q_kmv_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_1", "source_2")
 
 
+AMS_D = 8
+
+
+def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment estimate of the token column per source
+    (operators/moments.ams_f2) — the self-join-size / repeat-rate
+    diagnostic.  The d=8 sign-hash sums are pure Catalyst integer
+    arithmetic (parity of the KMV permutation hash), so the sketch STATE
+    and the integer estimate (lower median of S_r^2) hash-match the
+    DuckDB oracle exactly; exact_f2 rides along as the accuracy
+    companion.  Plan: ONE aggregate with map-side partial sums — no
+    shuffle of values (the exact companion is the part that shuffles;
+    at 100 TB you would run the sketch alone)."""
+    from .operators.moments import ams_f2
+
+    seq = _seq(spark, sf_dir)
+    est = ams_f2(seq, "tokens", group_col="source", d=AMS_D)
+    tok = seq.select("source", F.explode("tokens").alias("t"))
+    exact = (
+        tok.groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_values",
+            *[f"s_{r}" for r in range(AMS_D)],
+            "f2_est",
+            "exact_f2",
+        )
+        .orderBy("source")
+    )
+
+
 def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-set Jaccard similarity estimated from KMV sketches
     (Beyer et al. 2007: est_J = |bottom_k(A∪B) ∩ A_k ∩ B_k| / k_used),
@@ -1570,6 +1607,7 @@ QUERIES = {
     "kmv_doc_jaccard": q_kmv_doc_jaccard,
     "topk_distinct_sources": q_topk_distinct_sources,
     "kmv_source_set_ops": q_kmv_source_set_ops,
+    "ams_f2_tokens": q_ams_f2_tokens,
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
@@ -2532,6 +2570,40 @@ SELECT s1 AS source_1, s2 AS source_2, k_used, n_common, est_union,
        CASE WHEN k_used = 0 THEN 0
             ELSE n_common * est_union // k_used END AS est_intersection
 FROM est ORDER BY source_1, source_2
+""",
+    # AMS F2: the sign-hash sums AND the integer lower-median estimate
+    # recomputed verbatim; exact_f2 from the distinct-count recount
+    "ams_f2_tokens": f"""
+WITH {_TOK_CTE},
+st AS (
+  SELECT d.source, t.tok
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_0,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_1,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_2,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_3,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_4,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_5,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_6,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(tok AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS s_7
+  FROM st GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY source, tok
+  ) GROUP BY source
+),
+sq AS (
+  SELECT source, n_values, s_0, s_1, s_2, s_3, s_4, s_5, s_6, s_7,
+         list_sort([s_0 * s_0, s_1 * s_1, s_2 * s_2, s_3 * s_3, s_4 * s_4, s_5 * s_5, s_6 * s_6, s_7 * s_7]) AS ss
+  FROM agg
+)
+SELECT sq.source, n_values, s_0, s_1, s_2, s_3, s_4, s_5, s_6, s_7, ss[4] AS f2_est, exact_f2
+FROM sq JOIN ex ON ex.source = sq.source
+ORDER BY sq.source
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},
