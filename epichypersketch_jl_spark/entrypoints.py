@@ -1013,6 +1013,38 @@ def q_tdigest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_bound_check(spark, ev, "value", qs, TDIGEST_EPS)
 
 
+def q_tdigest_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped t-digest quantiles (operators/quantiles.
+    tdigest_quantiles_grouped): per-event-type value quantiles through
+    the shared grouped-sketch plumbing (one digest per (task, group),
+    hash-partitioned blob merge, map-side flush budget).  Each estimate
+    pinned by the per-group two-sided rank check, tail quantiles
+    included (t-digest's specialty)."""
+    from .operators.quantiles import tdigest_quantiles_grouped
+
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    est = tdigest_quantiles_grouped(
+        ev, "value", "event_type", [0.01, 0.5, 0.99], compression=200.0
+    )
+    j = ev.select("event_type", "value").join(F.broadcast(est), "event_type")
+    agg = j.groupBy("event_type", "q").agg(
+        F.count(F.col("value")).alias("n"),
+        F.sum((F.col("value") < F.col("est")).cast("long")).alias("lo"),
+        F.sum((F.col("value") <= F.col("est")).cast("long")).alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        "q",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("lo") / F.col("n") <= F.col("q") + F.lit(TDIGEST_EPS))
+            & (F.col("hi") / F.col("n") >= F.col("q") - F.lit(TDIGEST_EPS))
+        ).alias("rank_error_ok"),
+    ).orderBy("event_type", "q")
+
+
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reducer: orders whose custkey passes a Bloom
     built over high-balance customers (no false negatives; FPs possible)."""
@@ -1599,6 +1631,7 @@ QUERIES = {
     "hll_tokens_per_source": q_hll_tokens_per_source,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_event_value": q_tdigest_event_value,
+    "tdigest_value_per_type": q_tdigest_value_per_type,
     "bloom_semijoin": q_bloom_semijoin,
     "cms_frequency_gate": q_cms_frequency_gate,
     "topk_event_types_per_user": q_topk_event_types_per_user,
@@ -2153,6 +2186,15 @@ FROM n CROSS JOIN qv ORDER BY source, q
     "tdigest_event_value": """
 SELECT * FROM (VALUES (0.01, TRUE), (0.5, TRUE), (0.99, TRUE))
   AS t(q, rank_error_ok)
+""",
+    "tdigest_value_per_type": """
+WITH n AS (
+  SELECT event_type, count(value) AS n_events FROM events GROUP BY event_type
+),
+qv AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.01), (0.5), (0.99)) AS t(q))
+SELECT event_type, q, n_events, TRUE AS rank_error_ok
+FROM n CROSS JOIN qv ORDER BY event_type, q
 """,
     "dedup_minhash_lsh": """
 SELECT CAST(0 AS BIGINT) AS n_lsh_pairs_not_in_exact, TRUE AS found_any

@@ -42,44 +42,47 @@ def kll_quantiles(
     return {q: float(v) for q, v in zip(quantiles, vals)}
 
 
-def kll_quantiles_grouped(
+def _quantiles_grouped(
     df: DataFrame,
     value_col: str,
     group_col: str,
     quantiles: list[float],
     *,
-    k: int = 200,
-    seed: int = 42,
+    zero_fn,
+    compat_fn,
+    op_name: str,
     map_groups_budget: int = 4096,
 ) -> DataFrame:
-    """Per-group KLL quantile estimates: (group: string, q: double,
-    est: double), one row per (group, quantile).
+    """Shared grouped-quantile plumbing for any mergeable quantile sketch
+    (KLL, t-digest): (group: string, q: double, est: double), one row per
+    (group, quantile).
 
     Plan shape (same distributed-merge discipline as the grouped HLL,
     operators/cardinality._hll_grouped):
-      * map side: one KLL per (task, group); per Arrow batch the values
-        argsort by group code once and each group's slice feeds one
-        vectorized update_batch call — Python cost is per (batch, group),
-        never per row;
-      * the (task, group) blobs hash-partition by group (fixed-size KLL
+      * map side: one sketch (``zero_fn()``) per (task, group); per Arrow
+        batch the values argsort by group code once and each group's
+        slice feeds one vectorized update_batch call — Python cost is
+        per (batch, group), never per row;
+      * the (task, group) blobs hash-partition by group (fixed-size
         payloads, never row data) and a second mapInArrow pass merges +
         queries each group entirely in its partition — no driver collect.
 
-    KLL compaction is seeded but partition-count-dependent, so per-group
-    estimates carry the published rank-error bound rather than
-    partition-invariant bytes — the driver query pins them through the
-    same two-sided tie-aware rank check as the ungrouped KLL.
+    Sketch compaction is partition-count-dependent, so per-group
+    estimates carry the family's published rank-error bound rather than
+    partition-invariant bytes — driver queries pin them through
+    two-sided tie-aware rank checks.
 
     Map-side memory is bounded: a task holds at most ``map_groups_budget``
-    live per-group KLL objects; when a batch would exceed that, the
+    live per-group sketch objects; when a batch would exceed that, the
     accumulated blobs are flushed downstream and the dictionary cleared
-    (KLL merge is associative, so multiple blobs per (task, group) merge
-    to the same sketch family — only shuffle volume grows, by one blob
-    per flushed group)."""
+    (merge is associative, so multiple blobs per (task, group) merge to
+    the same sketch family — only shuffle volume grows, by one blob per
+    flushed group).  ``compat_fn`` guards the merge against mixed
+    parameters."""
     from ..errors import InputError
 
     if not quantiles:
-        raise InputError("kll_quantiles_grouped needs at least one quantile")
+        raise InputError(f"{op_name} needs at least one quantile")
     if map_groups_budget < 1:
         raise InputError("map_groups_budget must be >= 1")
     qs = sorted(float(q) for q in quantiles)
@@ -102,7 +105,7 @@ def kll_quantiles_grouped(
 
         tid_of: dict[str, int] = {}
         names: list[str] = []
-        sketches: dict[int, KLL] = {}
+        sketches: dict = {}
         arrow_schema = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
 
         def _emit() -> pa.RecordBatch:
@@ -131,7 +134,7 @@ def kll_quantiles_grouped(
                 tid = int(st[s])
                 sk = sketches.get(tid)
                 if sk is None:
-                    sk = sketches[tid] = KLL(k=k, seed=seed)
+                    sk = sketches[tid] = zero_fn()
                 sk.update_batch(sv[s:e])
             if len(sketches) > map_groups_budget:
                 # bound live per-group Python objects: flush partial
@@ -144,15 +147,15 @@ def kll_quantiles_grouped(
     qarr = np.array(qs)
 
     def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        merged: dict[str, KLL] = {}
+        merged: dict = {}
         for batch in batches:
             for name, blob in zip(
                 batch.column("group").to_pylist(),
                 batch.column("sketch").to_pylist(),
             ):
                 sk = from_bytes(bytes(blob))
-                if not isinstance(sk, KLL) or sk.k != k:
-                    raise ValueError("mixed KLL parameters in grouped merge")
+                if not compat_fn(sk):
+                    raise ValueError(f"mixed sketch parameters in {op_name} merge")
                 prev = merged.get(name)
                 merged[name] = sk if prev is None else prev.merge(sk)
         if not merged:
@@ -187,3 +190,56 @@ def tdigest_quantiles(
     )
     vals = sk.quantile(np.array(quantiles))
     return {q: float(v) for q, v in zip(quantiles, vals)}
+
+
+def kll_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: list[float],
+    *,
+    k: int = 200,
+    seed: int = 42,
+    map_groups_budget: int = 4096,
+) -> DataFrame:
+    """Per-group KLL quantile estimates (see _quantiles_grouped for the
+    plan shape and memory discipline).  KLL compaction is seeded but
+    partition-count-dependent, so estimates carry the published
+    rank-error bound rather than partition-invariant bytes."""
+    return _quantiles_grouped(
+        df,
+        value_col,
+        group_col,
+        quantiles,
+        zero_fn=lambda: KLL(k=k, seed=seed),
+        compat_fn=lambda sk: isinstance(sk, KLL) and sk.k == k,
+        op_name="kll_quantiles_grouped",
+        map_groups_budget=map_groups_budget,
+    )
+
+
+def tdigest_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: list[float],
+    *,
+    compression: float = 200.0,
+    map_groups_budget: int = 4096,
+) -> DataFrame:
+    """Per-group t-digest quantile estimates — the tail-accurate twin of
+    kll_quantiles_grouped (t-digest concentrates centroid resolution at
+    the extremes, the right tool for p99/p999 latency-style columns).
+    Same plan shape and map-side flush budget; merge is centroid
+    recompression, associative up to the digest's accuracy contract."""
+    return _quantiles_grouped(
+        df,
+        value_col,
+        group_col,
+        quantiles,
+        zero_fn=lambda: TDigest(compression=compression),
+        compat_fn=lambda sk: isinstance(sk, TDigest)
+        and sk.compression == compression,
+        op_name="tdigest_quantiles_grouped",
+        map_groups_budget=map_groups_budget,
+    )

@@ -658,6 +658,61 @@ class TestGroupedKLL:
             kll_quantiles_grouped(df, "v", "g", [])
 
 
+class TestGroupedTDigest:
+    def test_rank_error_within_bound(self, spark):
+        """tdigest_quantiles_grouped through the shared grouped plumbing:
+        per-group estimates (tails included) obey the rank bound."""
+        import numpy as np
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.quantiles import (
+            tdigest_quantiles_grouped,
+        )
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (f"g{i % 4}", float(v))
+            for i, v in enumerate(rng.lognormal(0.0, 1.0, size=40_000))
+        ]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+        qs = [0.01, 0.5, 0.99]
+        est = {
+            (r.g, r.q): r.est
+            for r in tdigest_quantiles_grouped(
+                df, "v", "g", qs, compression=200.0
+            ).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["g", "v"])
+        for (g, q), e in est.items():
+            sub = np.sort(pdf[pdf.g == g].v.values)
+            lo = np.searchsorted(sub, e, side="left") / len(sub)
+            hi = np.searchsorted(sub, e, side="right") / len(sub)
+            assert lo <= q + 0.02 and hi >= q - 0.02, (g, q, e, lo, hi)
+        assert len(est) == 12
+
+    def test_mixed_parameters_guard(self, spark):
+        """compat_fn catches a foreign blob in the merge: a KLL blob
+        injected into a t-digest merge raises instead of corrupting."""
+        from epichypersketch_jl_spark.sketches.kll import KLL
+        from epichypersketch_jl_spark.sketches.tdigest import TDigest
+
+        from epichypersketch_jl_spark.operators.quantiles import (
+            _quantiles_grouped,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        out = _quantiles_grouped(
+            df, "v", "g", [0.5],
+            zero_fn=lambda: KLL(k=200, seed=1),  # build emits KLL blobs
+            compat_fn=lambda sk: isinstance(sk, TDigest),  # merge wants TD
+            op_name="mixed_guard_test",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="mixed sketch parameters"):
+            out.collect()
+
+
 class TestWeightedSample:
     def test_matches_numpy_and_partition_invariant(self, spark):
         import numpy as np
