@@ -1,6 +1,6 @@
 """spark-submit entry point for the generalized sketch family:
-HLL / KMV cardinality, KLL / t-digest quantiles (grouped KLL with
---group-col), Misra-Gries top-k, Bloom build.
+HLL / KMV cardinality, KLL / t-digest quantiles (both grouped with
+--group-col), Misra-Gries top-k, AMS F2 frequency moment, Bloom build.
 
     spark-submit --py-files dist/ehs.zip jobs/sketch_stats.py \
         --input seqs.parquet --sketch hll --column tokens [--group-col source]
@@ -9,6 +9,7 @@ HLL / KMV cardinality, KLL / t-digest quantiles (grouped KLL with
     ... --sketch kmv --column doc_id [--group-col source] --kmv-k 256
     ... --sketch topk --column token [--group-col source] --topk 10
     ... --sketch bloom --column doc_id --bloom-out /path/bloom.bin
+    ... --sketch ams --column tokens [--group-col source] --ams-d 8
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--sketch", choices=["hll", "kll", "tdigest", "bloom", "kmv", "topk"], required=True)
+    ap.add_argument("--sketch", choices=["hll", "kll", "tdigest", "bloom", "kmv", "topk", "ams"], required=True)
     ap.add_argument("--column", required=True)
     ap.add_argument("--group-col", default=None)
     ap.add_argument("--quantiles", default="0.5,0.9,0.99")
@@ -33,6 +34,7 @@ def main() -> None:
     ap.add_argument("--fpp", type=float, default=0.01)
     ap.add_argument("--kmv-k", type=int, default=256, help="KMV bottom-k size")
     ap.add_argument("--topk", type=int, default=10, help="top-k to emit")
+    ap.add_argument("--ams-d", type=int, default=8, help="AMS sign-hash rows")
     ap.add_argument("--n-counters", type=int, default=64, help="Misra-Gries counters")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bloom-out", default=None)
@@ -62,16 +64,32 @@ def main() -> None:
         )
         for r in out.collect():
             print(json.dumps(r.asDict()))
+    elif args.sketch == "ams":
+        from epichypersketch_jl_spark.operators.moments import ams_f2
+
+        out = ams_f2(df, args.column, group_col=args.group_col, d=args.ams_d)
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
     elif args.sketch in ("kll", "tdigest"):
         qs = [float(x) for x in args.quantiles.split(",")]
-        if args.sketch == "kll" and args.group_col is not None:
-            from epichypersketch_jl_spark.operators.quantiles import (
-                kll_quantiles_grouped,
-            )
+        if args.group_col is not None:
+            if args.sketch == "kll":
+                from epichypersketch_jl_spark.operators.quantiles import (
+                    kll_quantiles_grouped as grouped_fn,
+                )
 
-            out = kll_quantiles_grouped(
-                df, args.column, args.group_col, qs, k=args.k, seed=args.seed
-            )
+                out = grouped_fn(
+                    df, args.column, args.group_col, qs, k=args.k, seed=args.seed
+                )
+            else:
+                from epichypersketch_jl_spark.operators.quantiles import (
+                    tdigest_quantiles_grouped as grouped_fn,
+                )
+
+                out = grouped_fn(
+                    df, args.column, args.group_col, qs,
+                    compression=args.compression,
+                )
             for r in out.collect():
                 print(json.dumps(r.asDict()))
             spark.stop()
@@ -81,11 +99,6 @@ def main() -> None:
 
             res = kll_quantiles(df, args.column, qs, k=args.k, seed=args.seed)
         else:
-            if args.group_col is not None:
-                raise SystemExit(
-                    "--group-col is not supported for --sketch tdigest "
-                    "(use --sketch kll for grouped quantiles)"
-                )
             from epichypersketch_jl_spark.operators.quantiles import tdigest_quantiles
 
             res = tdigest_quantiles(df, args.column, qs, compression=args.compression)

@@ -193,9 +193,9 @@ class TestCorpusPipelineJob:
 
 class TestSketchStatsCLI:
     def test_new_sketch_branches(self, dist_zip):
-        """kmv / topk / grouped-kll CLI branches produce JSON rows; tdigest
-        rejects --group-col with a legible error (plain python with
-        PYTHONPATH — same code path spark-submit --py-files exercises)."""
+        """kmv / topk / grouped-kll / grouped-tdigest / ams CLI branches
+        produce JSON rows (plain python with PYTHONPATH — same code path
+        spark-submit --py-files exercises)."""
         import json
 
         env = dict(os.environ, PYTHONPATH=REPO)
@@ -222,8 +222,18 @@ class TestSketchStatsCLI:
 
         r = subprocess.run(
             base + ["--input", ev, "--sketch", "tdigest", "--column", "value",
-                    "--group-col", "event_type"],
+                    "--group-col", "event_type", "--quantiles", "0.5,0.99"],
             capture_output=True, text=True, timeout=300, env=env,
         )
-        assert r.returncode != 0
-        assert "not supported for --sketch tdigest" in (r.stderr + r.stdout)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(x) for x in r.stdout.splitlines() if x.startswith("{")]
+        assert rows and {"q", "est"} <= set(rows[0])
+
+        r = subprocess.run(
+            base + ["--input", ev, "--sketch", "ams", "--column", "user_id",
+                    "--group-col", "event_type", "--ams-d", "4"],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(x) for x in r.stdout.splitlines() if x.startswith("{")]
+        assert rows and {"f2_est", "n_values"} <= set(rows[0])
