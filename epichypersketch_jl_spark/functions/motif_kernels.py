@@ -54,6 +54,28 @@ def make_cms(cfg: HyperSketchConfig, conv: bool) -> CountMinSketch:
     )
 
 
+
+
+def _value_bound(
+    tokens_flat: np.ndarray, positions_flat: np.ndarray | None
+) -> int | None:
+    """One cheap pass over the RAW token (and position) arrays yields a
+    bound valid for every enumerated key cell: ordinary keys are token
+    values; convolution keys interleave tokens with gaps, and every gap is
+    < max(position).  Returns None (scan-per-chunk fallback in the CMS)
+    when values are negative — the bound contract implies non-negativity.
+    Avoids the per-chunk max/min probes that measured ~50% of the k=3
+    aggregate kernel wall."""
+    if tokens_flat.size == 0:
+        return 0
+    lo = int(tokens_flat.min())
+    hi = int(tokens_flat.max())
+    if positions_flat is not None and positions_flat.size:
+        lo = min(lo, int(positions_flat.min()))
+        hi = max(hi, int(positions_flat.max()))
+    return hi if lo >= 0 else None
+
+
 class _CombScratch:
     """Reusable flat gather buffer for per-chunk combination selection.
 
@@ -124,6 +146,7 @@ def build_batch(
             f"values vs {len(tokens_flat)} tokens — the parallel list "
             "columns must have identical per-row lengths"
         )
+    vb = _value_bound(tokens_flat, positions_flat)
     sc_t, sc_p = _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
@@ -137,11 +160,11 @@ def build_batch(
                 keys, valid = _conv_keys(
                     sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len
                 )
-                cms.update_batch_grouped(keys[valid])
+                cms.update_batch_grouped(keys[valid], vmax=vb)
         else:
             tm = np.sort(tm, axis=1)  # canonical ascending motifs (src/record.jl:237-242)
             for combs in iter_comb_chunks(L, k, budget):
-                cms.update_batch_grouped(sc_t.take(tm, combs).reshape(-1, k))
+                cms.update_batch_grouped(sc_t.take(tm, combs).reshape(-1, k), vmax=vb)
     if stats is not None:
         stats.n_rows += len(lengths)
         stats.n_tokens += int(lengths.sum())
@@ -152,11 +175,12 @@ def _fold_keys(
     k: int,
     occ_weights: np.ndarray | None = None,
     contrib_weights: np.ndarray | None = None,
+    vmax: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Group duplicate key rows: returns (unique_keys, occurrence_sum,
     contribution_sum).  Dense packed spaces use O(n) bincount; wider packed
     spaces use sort-based unique; unpackable keys use unique(axis=0)."""
-    packed, bits = CountMinSketch._pack_keys_info(flat_keys)
+    packed, bits = CountMinSketch._pack_keys_info(flat_keys, vmax)
     if packed is not None and sum(bits) <= CountMinSketch.BINCOUNT_BITS:
         space = 1 << sum(bits)
         occ_d = (
@@ -216,6 +240,7 @@ def aggregate_batch(
             "columns must have identical per-row lengths"
         )
     acc_k, acc_o, acc_c = [], [], []
+    vb = _value_bound(tokens_flat, positions_flat)
 
     def process(flat_keys: np.ndarray, contrib: np.ndarray | None) -> None:
         if flat_keys.shape[0] == 0:
@@ -227,20 +252,30 @@ def aggregate_batch(
         # estimate every key, filter by min_count, fold only the survivors.
         n = flat_keys.shape[0]
         sample = flat_keys[:: max(1, n // 2048)][:2048]
-        s_uniq = np.unique(sample, axis=0).shape[0] if len(sample) else 0
+        if len(sample):
+            # pack-based uniqueness probe: 1-D unique instead of the
+            # void-record unique(axis=0), which profiled ~1 ms per chunk
+            sp = CountMinSketch._pack_keys_info(sample, vb)[0]
+            s_uniq = (
+                np.unique(sp).size
+                if sp is not None
+                else np.unique(sample, axis=0).shape[0]
+            )
+        else:
+            s_uniq = 0
         if s_uniq >= 0.6 * max(len(sample), 1):
-            est_all = cms.estimate_grouped(flat_keys)
+            est_all = cms.estimate_grouped(flat_keys, vmax=vb)
             m_all = est_all >= cfg.min_count
             if not m_all.any():
                 return
             surv = flat_keys[m_all]
             surv_contrib = contrib[m_all] if contrib is not None else None
-            ukeys, occ, csum = _fold_keys(surv, k, contrib_weights=surv_contrib)
+            ukeys, occ, csum = _fold_keys(surv, k, contrib_weights=surv_contrib, vmax=vb)
             m = np.ones(len(ukeys), dtype=bool)
-            est = cms.estimate(ukeys)
+            est = cms.estimate(ukeys, vmax=vb)
         else:
-            ukeys, occ, csum = _fold_keys(flat_keys, k, contrib_weights=contrib)
-            est = cms.estimate(ukeys)
+            ukeys, occ, csum = _fold_keys(flat_keys, k, contrib_weights=contrib, vmax=vb)
+            est = cms.estimate(ukeys, vmax=vb)
             m = est >= cfg.min_count
         if m.any():
             acc_k.append(ukeys[m])
@@ -293,8 +328,10 @@ def aggregate_batch(
     occ = np.concatenate(acc_o)
     csum = np.concatenate(acc_c)
     # re-combine across chunks; estimates are key-determined, recompute once
-    ukeys, uocc, ucsum = _fold_keys(keys, k, occ_weights=occ, contrib_weights=csum)
-    return ukeys, uocc, ucsum, cms.estimate(ukeys)
+    ukeys, uocc, ucsum = _fold_keys(
+        keys, k, occ_weights=occ, contrib_weights=csum, vmax=vb
+    )
+    return ukeys, uocc, ucsum, cms.estimate(ukeys, vmax=vb)
 
 
 @dataclass
@@ -330,6 +367,7 @@ def extract_batch(
             "columns must have identical per-row lengths"
         )
     out = ExtractOut()
+    vb = _value_bound(tokens_flat, positions_flat)
     sc_t, sc_p, sc_w = _CombScratch(), _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
@@ -357,9 +395,9 @@ def extract_batch(
                 # dedup fast path stays applicable; estimates are masked out
                 # (in place: keys is freshly built by _conv_keys)
                 keys[~valid] = 0
-                est = cms.estimate_grouped(keys.reshape(-1, keys.shape[-1])).reshape(
-                    keys.shape[:2]
-                )
+                est = cms.estimate_grouped(
+                    keys.reshape(-1, keys.shape[-1]), vmax=vb
+                ).reshape(keys.shape[:2])
                 sel = valid & (est >= cfg.min_count)
                 ri, ci = np.nonzero(sel)
                 if ri.size == 0:
@@ -370,7 +408,9 @@ def extract_batch(
                 out.ends.append(pos_sel[ri, ci, -1] + cfg.filter_len - 1)
             else:
                 keys = sc_t.take(tm, combs)
-                est = cms.estimate_grouped(keys.reshape(-1, k)).reshape(keys.shape[:2])
+                est = cms.estimate_grouped(keys.reshape(-1, k), vmax=vb).reshape(
+                    keys.shape[:2]
+                )
                 sel = est >= cfg.min_count
                 ri, ci = np.nonzero(sel)
                 if ri.size == 0:

@@ -70,7 +70,7 @@ class CountMinSketch(MergeableSketch):
         self.n_updates = int(_n_updates)  # total increments N, for the eps*N bound
 
     # ------------------------------------------------------------------ hash
-    def bucket_indices(self, keys: np.ndarray) -> np.ndarray:
+    def bucket_indices(self, keys: np.ndarray, *, vmax: int | None = None) -> np.ndarray:
         """(n, key_width) int array -> (d, n) bucket indices.
 
         Semantically the reference's double mod, `(Σ t_j·c_rj) % (d·w) % w`
@@ -80,6 +80,13 @@ class CountMinSketch(MergeableSketch):
         gather reads stream sequentially.  Huge key values are pre-reduced
         `% w` first (valid: (a mod w)·c ≡ a·c (mod w)), which caps every
         product at w·d·w < 2^36 — no overflow for any input.
+
+        `vmax`, when given, is a caller-supplied bound 0 <= key <= vmax
+        for EVERY cell: the overflow guard then decides without scanning
+        the key array.  On enumeration-sized key streams the max/min
+        scans are otherwise a top-line cost (measured ~50% of the k=3
+        aggregate kernel) because every chunk is scanned several times
+        across the pack/guard probes.
         """
         keys = np.asarray(keys)
         if keys.ndim == 1:
@@ -90,7 +97,10 @@ class CountMinSketch(MergeableSketch):
         # that, pre-reduce mod w (valid: (a mod w)·c ≡ a·c (mod w)), which
         # caps every subsequent product at w·d·w·k ≪ 2^63 for any params
         limit = (2**62) // (self.depth * self.width * max(1, keys.shape[1]))
-        if keys.size and (int(keys.max()) >= limit or int(keys.min()) <= -limit):
+        if vmax is not None:
+            if vmax >= limit:
+                keys = keys % self.width
+        elif keys.size and (int(keys.max()) >= limit or int(keys.min()) <= -limit):
             keys = keys % self.width
         raw = keys @ self.coeffs.T  # int64 (n, d)
         np.remainder(raw, self.width, out=raw)
@@ -102,11 +112,17 @@ class CountMinSketch(MergeableSketch):
     BINCOUNT_BITS = 22
 
     @staticmethod
-    def _key_bits(keys: np.ndarray) -> list[int] | None:
+    def _key_bits(keys: np.ndarray, vmax: int | None = None) -> list[int] | None:
         """Per-column bit widths for packing, or None if unpackable
-        (negative values or > 63 total bits)."""
+        (negative values or > 63 total bits).  With a caller-supplied
+        `vmax` (bound for every cell, implying non-negativity) the widths
+        come from the bound — no scan of the key array."""
         if keys.shape[0] == 0:
             return None
+        if vmax is not None:
+            b = max(1, int(vmax).bit_length())
+            bits = [b] * keys.shape[1]
+            return bits if sum(bits) <= 63 else None
         maxs = keys.max(axis=0)
         if int(keys.min()) < 0:
             return None
@@ -122,11 +138,13 @@ class CountMinSketch(MergeableSketch):
         return packed
 
     @staticmethod
-    def _pack_keys_info(keys: np.ndarray) -> tuple[np.ndarray | None, list[int] | None]:
+    def _pack_keys_info(
+        keys: np.ndarray, vmax: int | None = None
+    ) -> tuple[np.ndarray | None, list[int] | None]:
         """Bijectively pack non-negative (n, k) int rows into one int64 per
         row when the per-column bit widths sum to <= 63; else (None, None).
         Returns (packed, per-column bit widths)."""
-        bits = CountMinSketch._key_bits(keys)
+        bits = CountMinSketch._key_bits(keys, vmax)
         if bits is None:
             return None, None
         return CountMinSketch._pack_with_bits(keys, bits), bits
@@ -147,7 +165,13 @@ class CountMinSketch(MergeableSketch):
         out[:, 0] = v
         return out
 
-    def update_batch_grouped(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+    def update_batch_grouped(
+        self,
+        keys: np.ndarray,
+        counts: np.ndarray | None = None,
+        *,
+        vmax: int | None = None,
+    ) -> None:
         """update_batch with duplicate-key folding: hash each DISTINCT key
         once, scatter with multiplicity weights.  Dense key spaces (packed
         width <= BINCOUNT_BITS) fold in O(n) via bincount; wider ones via
@@ -156,9 +180,9 @@ class CountMinSketch(MergeableSketch):
         keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
-        bits = self._key_bits(keys)
+        bits = self._key_bits(keys, vmax)
         if bits is None:
-            return self.update_batch(keys, counts)
+            return self.update_batch(keys, counts, vmax=vmax)
         if sum(bits) <= self.BINCOUNT_BITS:
             packed = self._pack_with_bits(keys, bits)
             dense = (
@@ -172,22 +196,24 @@ class CountMinSketch(MergeableSketch):
         n = keys.shape[0]
         sample = keys[:: max(1, n // 4096)][:4096]
         if np.unique(self._pack_with_bits(sample, bits)).size >= 0.6 * sample.shape[0]:
-            return self.update_batch(keys, counts)
+            return self.update_batch(keys, counts, vmax=vmax)
         packed = self._pack_with_bits(keys, bits)
         uniq, first_idx, ucnt = np.unique(packed, return_index=True, return_counts=True)
         c = ucnt.astype(np.int64) if counts is None else np.bincount(
             np.searchsorted(uniq, packed), weights=counts
         ).astype(np.int64)
-        self.update_batch(keys[first_idx], c)
+        self.update_batch(keys[first_idx], c, vmax=vmax)
 
-    def estimate_grouped(self, keys: np.ndarray) -> np.ndarray:
+    def estimate_grouped(
+        self, keys: np.ndarray, *, vmax: int | None = None
+    ) -> np.ndarray:
         """estimate() with duplicate-key folding (same strategy ladder)."""
         keys = np.asarray(keys)
         if keys.ndim == 1:
             keys = keys[:, None]
-        bits = self._key_bits(keys)
+        bits = self._key_bits(keys, vmax)
         if bits is None:
-            return self.estimate(keys)
+            return self.estimate(keys, vmax=vmax)
         if sum(bits) <= self.BINCOUNT_BITS:
             packed = self._pack_with_bits(keys, bits)
             space = 1 << sum(bits)
@@ -200,13 +226,19 @@ class CountMinSketch(MergeableSketch):
         n = keys.shape[0]
         sample = keys[:: max(1, n // 4096)][:4096]
         if np.unique(self._pack_with_bits(sample, bits)).size >= 0.6 * sample.shape[0]:
-            return self.estimate(keys)
+            return self.estimate(keys, vmax=vmax)
         packed = self._pack_with_bits(keys, bits)
         uniq, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
-        return self.estimate(keys[first_idx])[inv]
+        return self.estimate(keys[first_idx], vmax=vmax)[inv]
 
     # ---------------------------------------------------------------- update
-    def update_batch(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+    def update_batch(
+        self,
+        keys: np.ndarray,
+        counts: np.ndarray | None = None,
+        *,
+        vmax: int | None = None,
+    ) -> None:
         """Add `counts[i]` (default 1) occurrences of each key row."""
         keys = np.asarray(keys)
         if keys.ndim == 1:
@@ -219,7 +251,7 @@ class CountMinSketch(MergeableSketch):
             counts = np.ones(n, dtype=np.int64)
         else:
             counts = np.ascontiguousarray(counts, dtype=np.int64)
-        idx = self.bucket_indices(keys)  # (d, n)
+        idx = self.bucket_indices(keys, vmax=vmax)  # (d, n)
         if not self.conservative:
             if n < self.width // 4:
                 # sparse increments: scatter-add in place.  bincount here
@@ -262,9 +294,9 @@ class CountMinSketch(MergeableSketch):
             np.maximum.at(self.table[r], uidx[r], target)
 
     # ----------------------------------------------------------------- query
-    def estimate(self, keys: np.ndarray) -> np.ndarray:
+    def estimate(self, keys: np.ndarray, *, vmax: int | None = None) -> np.ndarray:
         """Point query: min over all d rows (true CMS min, never undercounts)."""
-        idx = self.bucket_indices(keys)  # (d, n) row-contiguous
+        idx = self.bucket_indices(keys, vmax=vmax)  # (d, n) row-contiguous
         out = self.table[0][idx[0]]
         for r in range(1, self.depth):
             np.minimum(out, self.table[r][idx[r]], out=out)
