@@ -1538,6 +1538,24 @@ def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact log2 histogram of document lengths per source
+    (operators/histogram.value_histogram) — the distribution diagnostic
+    next to the quantile sketches.  floor(log2(v)) is computed
+    INTEGER-exactly as length(bin(v)) - 1 in both engines, so every
+    power-of-two boundary agrees by construction; one map-side-combined
+    aggregate, shuffle proportional to distinct (source, bucket) pairs."""
+    from .operators.histogram import value_histogram
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = value_histogram(docs, "n_chars", group_col="source", mode="log2")
+    return out.select(
+        "source", "bucket", "bucket_lo", "bucket_hi", "n_values"
+    ).orderBy("source", "bucket")
+
+
 def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-set Jaccard similarity estimated from KMV sketches
     (Beyer et al. 2007: est_J = |bottom_k(A∪B) ∩ A_k ∩ B_k| / k_used),
@@ -1641,6 +1659,7 @@ QUERIES = {
     "topk_distinct_sources": q_topk_distinct_sources,
     "kmv_source_set_ops": q_kmv_source_set_ops,
     "ams_f2_tokens": q_ams_f2_tokens,
+    "doc_length_histogram": q_doc_length_histogram,
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
@@ -2646,6 +2665,18 @@ sq AS (
 SELECT sq.source, n_values, s_0, s_1, s_2, s_3, s_4, s_5, s_6, s_7, ss[4] AS f2_est, exact_f2
 FROM sq JOIN ex ON ex.source = sq.source
 ORDER BY sq.source
+""",
+    # integer-exact log2 buckets: length(bin(v)) - 1 on both engines
+    "doc_length_histogram": """
+WITH b AS (
+  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 1
+)
+SELECT source, bucket,
+       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo,
+       CAST(CAST(1 AS BIGINT) << (bucket + 1) AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_values
+FROM b GROUP BY source, bucket ORDER BY source, bucket
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},
