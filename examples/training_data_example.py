@@ -79,5 +79,23 @@ kll_quantiles_grouped(docs, "n_chars", "source", [0.5, 0.9]).orderBy(
     "source", "q"
 ).show(5)
 
+# 7. round-4 diagnostics: length distribution, repeat rate, widest vocab
+from epichypersketch_jl_spark.operators.cardinality import topk_distinct_groups
+from epichypersketch_jl_spark.operators.histogram import value_histogram
+from epichypersketch_jl_spark.operators.lm import trigram_logprob
+from epichypersketch_jl_spark.operators.moments import ams_f2
+from epichypersketch_jl_spark.sources.tables import documents_sequences
+
+value_histogram(docs, "n_chars", mode="log2").show()
+seq = documents_sequences(spark, sf_dir, with_positions=True)
+ams_f2(seq, "tokens", group_col="source", d=4).select(
+    "source", "n_values", "f2_est"
+).show(5)
+topk_distinct_groups(seq, "tokens", "source", k_sketch=64, n=3).show()
+# fluency gate: lowest-scoring docs under the corpus's own trigram LM
+trigram_logprob(seq).orderBy("avg_logprob").select(
+    "doc_id", "n_triples", F.round("avg_logprob", 3).alias("avg_logprob")
+).show(5)
+
 spark.stop()
 print("done")
