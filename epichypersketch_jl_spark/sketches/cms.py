@@ -134,7 +134,9 @@ class CountMinSketch(MergeableSketch):
         packed = keys[:, 0].astype(np.int64)
         for j in range(1, keys.shape[1]):
             packed <<= bits[j]
-            packed |= keys[:, j].astype(np.int64) if keys.dtype != np.int64 else keys[:, j]
+            # in-place OR casts narrower integer columns through numpy's
+            # buffered loop — no per-column int64 materialization
+            packed |= keys[:, j]
         return packed
 
     @staticmethod
