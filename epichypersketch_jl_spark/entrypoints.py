@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import HyperSketchConfig
@@ -1556,6 +1556,43 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "bucket")
 
 
+PCTRANK_EPS = 0.03  # KLL k=256 rank bound, same budget as the KLL queries
+
+
+def q_percentile_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row approximate within-group percentile annotation
+    (operators/quantiles.percentile_rank): broadcast one KLL blob per
+    event_type, map-only annotate — no window, no per-group sort of row
+    data.  Each row's estimate is checked against the exact two-sided
+    tie-aware rank interval; the oracle asserts every row passes."""
+    from .operators.quantiles import percentile_rank
+
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = percentile_rank(ev, "value", "event_type", k=256)
+    w = Window.partitionBy("event_type").orderBy("value")
+    chk = (
+        out.where(F.col("value").isNotNull())
+        .withColumn("_n", F.count("*").over(Window.partitionBy("event_type")))
+        .withColumn("_hi", F.cume_dist().over(w))
+        .withColumn("_lo", (F.rank().over(w) - F.lit(1)) / F.col("_n"))
+        .withColumn(
+            "_ok",
+            (F.col("pct_rank") >= F.col("_lo") - F.lit(PCTRANK_EPS))
+            & (F.col("pct_rank") <= F.col("_hi") + F.lit(PCTRANK_EPS)),
+        )
+    )
+    return (
+        chk.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-set Jaccard similarity estimated from KMV sketches
     (Beyer et al. 2007: est_J = |bottom_k(A∪B) ∩ A_k ∩ B_k| / k_used),
@@ -1660,6 +1697,7 @@ QUERIES = {
     "kmv_source_set_ops": q_kmv_source_set_ops,
     "ams_f2_tokens": q_ams_f2_tokens,
     "doc_length_histogram": q_doc_length_histogram,
+    "percentile_rank_events": q_percentile_rank_events,
     "events_asof_join": q_events_asof_join,
     "bm25_doc_scores": q_bm25_doc_scores,
     "kll_ntok_per_source": q_kll_ntok_per_source,
@@ -2677,6 +2715,12 @@ SELECT source, bucket,
        CAST(CAST(1 AS BIGINT) << (bucket + 1) AS BIGINT) AS bucket_hi,
        CAST(count(*) AS BIGINT) AS n_values
 FROM b GROUP BY source, bucket ORDER BY source, bucket
+""",
+    # every row must sit inside its exact two-sided rank interval
+    "percentile_rank_events": """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS n_ok
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},

@@ -42,6 +42,72 @@ def kll_quantiles(
     return {q: float(v) for q, v in zip(quantiles, vals)}
 
 
+
+def _grouped_src(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """(group: string, v: double) with NULL values dropped and NULL group
+    keys coalesced to their own "None" group — the shared normalization of
+    every grouped quantile-sketch path."""
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+    v = F.explode(value_col) if is_list else F.col(value_col)
+    return (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("None")).alias("group"),
+            v.alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select("group", F.col("v").cast("double").alias("v"))
+    )
+
+
+def _grouped_build_fn(zero_fn, map_groups_budget: int):
+    """mapInArrow kernel: one sketch per (task, group), vectorized
+    per-slice updates, partial-blob flush when the live-group dictionary
+    exceeds the budget (associative merge makes the flush free)."""
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .cardinality import _task_group_codes
+
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        sketches: dict = {}
+        arrow_schema = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
+
+        def _emit() -> pa.RecordBatch:
+            rb = pa.RecordBatch.from_pydict(
+                {
+                    "group": [names[t] for t in sketches],
+                    "sketch": [sk.to_bytes() for sk in sketches.values()],
+                },
+                schema=arrow_schema,
+            )
+            tid_of.clear()
+            names.clear()
+            sketches.clear()
+            return rb
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = batch.column("v").to_numpy(zero_copy_only=False)
+            tids = _task_group_codes(tid_of, names, batch.column("group"))
+            order = np.argsort(tids, kind="stable")
+            st, sv = tids[order], vals[order]
+            starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+            ends = np.concatenate((starts[1:], [len(st)]))
+            for s, e in zip(starts, ends):
+                tid = int(st[s])
+                sk = sketches.get(tid)
+                if sk is None:
+                    sk = sketches[tid] = zero_fn()
+                sk.update_batch(sv[s:e])
+            if len(sketches) > map_groups_budget:
+                yield _emit()
+        if sketches:
+            yield _emit()
+
+    return build
+
+
 def _quantiles_grouped(
     df: DataFrame,
     value_col: str,
@@ -86,64 +152,10 @@ def _quantiles_grouped(
     if map_groups_budget < 1:
         raise InputError("map_groups_budget must be >= 1")
     qs = sorted(float(q) for q in quantiles)
-    is_list = df.schema[value_col].dataType.typeName() == "array"
-    v = F.explode(value_col) if is_list else F.col(value_col)
-    src = (
-        df.select(
-            F.coalesce(F.col(group_col).cast("string"), F.lit("None")).alias(
-                "group"
-            ),
-            v.alias("v"),
-        )
-        .filter(F.col("v").isNotNull())
-        .select("group", F.col("v").cast("double").alias("v"))
-    )
-    blob_schema = "group string, sketch binary"
-
-    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from .cardinality import _task_group_codes
-
-        tid_of: dict[str, int] = {}
-        names: list[str] = []
-        sketches: dict = {}
-        arrow_schema = pa.schema([("group", pa.string()), ("sketch", pa.binary())])
-
-        def _emit() -> pa.RecordBatch:
-            rb = pa.RecordBatch.from_pydict(
-                {
-                    "group": [names[t] for t in sketches],
-                    "sketch": [sk.to_bytes() for sk in sketches.values()],
-                },
-                schema=arrow_schema,
-            )
-            tid_of.clear()
-            names.clear()
-            sketches.clear()
-            return rb
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            vals = batch.column("v").to_numpy(zero_copy_only=False)
-            tids = _task_group_codes(tid_of, names, batch.column("group"))
-            order = np.argsort(tids, kind="stable")
-            st, sv = tids[order], vals[order]
-            starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
-            ends = np.concatenate((starts[1:], [len(st)]))
-            for s, e in zip(starts, ends):
-                tid = int(st[s])
-                sk = sketches.get(tid)
-                if sk is None:
-                    sk = sketches[tid] = zero_fn()
-                sk.update_batch(sv[s:e])
-            if len(sketches) > map_groups_budget:
-                # bound live per-group Python objects: flush partial
-                # blobs (merged downstream) and reset the dictionaries
-                yield _emit()
-        if sketches:
-            yield _emit()
-
-    blobs = src.mapInArrow(build, blob_schema).repartition(F.col("group"))
+    src = _grouped_src(df, value_col, group_col)
+    blobs = src.mapInArrow(
+        _grouped_build_fn(zero_fn, map_groups_budget), "group string, sketch binary"
+    ).repartition(F.col("group"))
     qarr = np.array(qs)
 
     def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -243,3 +255,114 @@ def tdigest_quantiles_grouped(
         op_name="tdigest_quantiles_grouped",
         map_groups_budget=map_groups_budget,
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    k: int = 200,
+    seed: int = 42,
+    map_groups_budget: int = 4096,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Annotate every row with its approximate WITHIN-GROUP percentile
+    (estimated #values <= v / n_group) — the primitive behind
+    distribution-aware filters ("drop the bottom decile of quality per
+    source") that would otherwise need a per-group sort of all rows.
+
+    Plan: grouped KLL build (same kernel/budget as kll_quantiles_grouped),
+    per-group merge, then ONE fixed-size blob per group is collected and
+    broadcast, and a map-only pass annotates rows — no window, no
+    per-group sort, no shuffle of row data.  Group cardinality must be
+    broadcast-sized (one ~KB blob per group — the same low-cardinality
+    contract as the grouped quantile queries; at extreme group counts
+    use a join against kll_quantiles_grouped cutpoints instead).
+
+    Rows with NULL values get a NULL percentile; estimates carry the KLL
+    rank-error bound (|est - exact| <= ~0.03 of n_group at k=200)."""
+    from ..sketches.kll import KLL
+
+    src = _grouped_src(df, value_col, group_col)
+    blobs = src.mapInArrow(
+        _grouped_build_fn(lambda: KLL(k=k, seed=seed), map_groups_budget),
+        "group string, sketch binary",
+    ).repartition(F.col("group"))
+
+    def merge_one(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        merged: dict = {}
+        for batch in batches:
+            for name, blob in zip(
+                batch.column("group").to_pylist(),
+                batch.column("sketch").to_pylist(),
+            ):
+                sk = from_bytes(bytes(blob))
+                if not isinstance(sk, KLL) or sk.k != k:
+                    raise ValueError("mixed KLL parameters in percentile_rank merge")
+                prev = merged.get(name)
+                merged[name] = sk if prev is None else prev.merge(sk)
+        if merged:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": list(merged),
+                    "sketch": [sk.to_bytes() for sk in merged.values()],
+                },
+                schema=pa.schema([("group", pa.string()), ("sketch", pa.binary())]),
+            )
+
+    spark = df.sparkSession
+    rows = blobs.mapInArrow(merge_one, "group string, sketch binary").collect()
+    bc = spark.sparkContext.broadcast({r.group: bytes(r.sketch) for r in rows})
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def annotate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .cardinality import _task_group_codes
+
+        cache: dict[str, KLL] = {}
+        tid_of: dict[str, int] = {}
+        names: list[str] = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            import pyarrow.compute as pc
+
+            vals = (
+                batch.column(value_col)
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            # same normalization as _grouped_src: NULL group -> "None"
+            gcol = pc.fill_null(
+                pc.cast(batch.column(group_col), pa.string()), "None"
+            )
+            tids = _task_group_codes(tid_of, names, gcol)
+            pct = np.full(n, np.nan)
+            finite = ~np.isnan(vals)
+            order = np.argsort(tids, kind="stable")
+            st = tids[order]
+            starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+            ends = np.concatenate((starts[1:], [len(st)]))
+            for a, b in zip(starts, ends):
+                name = names[int(st[a])]
+                sk = cache.get(name)
+                if sk is None:
+                    blob = bc.value.get(name)
+                    if blob is None:
+                        continue  # group had no non-null values
+                    sk = cache[name] = from_bytes(blob)
+                idx = order[a:b]
+                idx = idx[finite[idx]]
+                if idx.size:
+                    pct[idx] = sk.rank(vals[idx]) / max(sk.n, 1)
+            yield batch.append_column(
+                out_col, pa.array(pct, type=pa.float64(), from_pandas=True)
+            )
+
+    return df.mapInArrow(annotate, out_schema)

@@ -658,6 +658,37 @@ class TestGroupedKLL:
             kll_quantiles_grouped(df, "v", "g", [])
 
 
+class TestPercentileRank:
+    def test_accuracy_and_null_discipline(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.quantiles import percentile_rank
+
+        rng = np.random.default_rng(1)
+        rows = [(f"g{i % 3}", float(v)) for i, v in enumerate(rng.normal(size=9000))]
+        rows += [("g0", None), (None, 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+        pdf = percentile_rank(df, "v", "g", k=256).toPandas()
+        assert len(pdf) == len(rows)  # pure annotation: no rows lost
+        assert pdf[pdf.v.isna()]["pct_rank"].isna().all()
+        assert len(pdf[pdf.g.isna()]) == 1  # NULL group annotated too
+        for g in ["g0", "g1", "g2"]:
+            sub = pdf[(pdf.g == g) & pdf.v.notna()]
+            exact = sub.v.rank(method="max") / len(sub)
+            assert (sub.pct_rank - exact).abs().max() <= 0.03
+
+    def test_partition_count_does_not_change_rows(self, spark):
+        from epichypersketch_jl_spark.operators.quantiles import percentile_rank
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(100)], "g string, v double"
+        )
+        a = percentile_rank(df.repartition(2), "v", "g").count()
+        b = percentile_rank(df.repartition(9), "v", "g").count()
+        assert a == b == 100
+
+
 class TestGroupedTDigest:
     def test_rank_error_within_bound(self, spark):
         """tdigest_quantiles_grouped through the shared grouped plumbing:
