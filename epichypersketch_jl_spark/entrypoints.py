@@ -1339,6 +1339,20 @@ def q_trigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_triples", "logprob_fp_sum").orderBy("doc_id")
 
 
+def q_kn_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram scoring under KNESER-NEY smoothing
+    (operators/lm.kn_bigram_logprob, D = 0.75): absolute discounting plus
+    the continuation-probability backoff — the standard best-practice
+    n-gram smoothing, still fully SQL-exact because the estimator is
+    counts + one float literal with the same
+    fixed-point-ln-before-integer-sum discipline."""
+    from .operators.lm import kn_bigram_logprob
+
+    seq = _seq(spark, sf_dir, with_positions=True)
+    out = kn_bigram_logprob(seq)
+    return out.select("doc_id", "n_pairs", "logprob_fp_sum").orderBy("doc_id")
+
+
 PMI_MIN = 2000
 
 
@@ -1706,6 +1720,7 @@ QUERIES = {
     "motif_pmi_k2": q_motif_pmi_k2,
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "trigram_logprob_docs": q_trigram_logprob_docs,
+    "kn_bigram_logprob_docs": q_kn_bigram_logprob_docs,
     "events_stream_hll": q_events_stream_hll,
     "token_entropy_per_source": q_token_entropy_per_source,
     "token_kl_per_source": q_token_kl_per_source,
@@ -2481,6 +2496,43 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_triples,
        CAST(sum(lp_fp) AS BIGINT) AS logprob_fp_sum
 FROM trips t JOIN lut ON lut.a = t.a AND lut.b = t.b AND lut.c = t.c
 GROUP BY t.doc_id ORDER BY doc_id
+""",
+    "kn_bigram_logprob_docs": """
+WITH dws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+pw AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+  FROM dws
+),
+pairs AS (
+  SELECT a.doc_id, a.wd AS a, b.wd AS b
+  FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+ctx AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+         CAST(count(*) AS BIGINT) AS n1_fwd
+  FROM bi GROUP BY a
+),
+back AS (SELECT b, CAST(count(*) AS BIGINT) AS n1_back FROM bi GROUP BY b),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi),
+lut AS (
+  SELECT bi.a, bi.b,
+         CAST(floor(ln(
+           greatest(CAST(c_ab AS DOUBLE) - 0.75e0, 0.0e0)
+             / CAST(c_a AS DOUBLE)
+           + (0.75e0 * CAST(n1_fwd AS DOUBLE)) / CAST(c_a AS DOUBLE)
+             * (CAST(n1_back AS DOUBLE) / CAST(n_bi AS DOUBLE))
+         ) * 1000000000.0e0) AS BIGINT) AS lp_fp
+  FROM bi JOIN ctx ON ctx.a = bi.a JOIN back ON back.b = bi.b CROSS JOIN tot
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(lp_fp) AS BIGINT) AS logprob_fp_sum
+FROM pairs p JOIN lut ON lut.a = p.a AND lut.b = p.b
+GROUP BY p.doc_id ORDER BY doc_id
 """,
     # PMI: counts are exact recounts; the ln expression tree mirrors the
     # Spark side left-associatively (T and T2 fold in as BIGINT/BIGINT

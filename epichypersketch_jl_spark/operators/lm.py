@@ -231,3 +231,85 @@ def trigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    positions_col: str = "positions",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document bigram log-probability under KNESER-NEY smoothing —
+    the standard state-of-the-art n-gram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1999 empirical study):
+
+        p_KN(b|a) = max(c_ab - D, 0)/c_a
+                    + (D * N1+(a,.)/c_a) * (N1+(.,b) / B)
+
+    where c_ab / c_a are the corpus bigram/context counts (exactly
+    bigram_logprob's), N1+(a,.) counts a's DISTINCT continuations,
+    N1+(.,b) counts b's distinct left-contexts (the continuation
+    probability — "how promiscuous is b", not "how frequent"), and B is
+    the number of distinct bigrams.  D in (0,1) is the absolute
+    discount.
+
+    The whole estimator is counts + one float literal, so the same
+    fixed-point discipline applies: p is computed per DISTINCT pair with
+    a left-associative IEEE expression tree mirrored verbatim in SQL,
+    floor(ln(p)*1e9) quantizes, and per-doc scores are integer sums —
+    order-free and bit-exact cross-engine.  Smoothing guarantees p > 0
+    for every OBSERVED pair (the discounted term may hit zero but the
+    continuation term cannot); like bigram_logprob, unseen pairs never
+    occur because the model scores the corpus it was trained on.
+
+    Returns (id, n_pairs: long, logprob_fp_sum: long, avg_logprob:
+    double); docs with fewer than 2 tokens are excluded."""
+    for c in (tokens_col, positions_col, id_col):
+        if c not in df.columns:
+            raise InputError(f"kn_bigram_logprob: input lacks column {c!r}")
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise InputError(f"discount must be in (0, 1), got {discount}")
+    pairs = _adjacent_pairs(df, tokens_col, positions_col, id_col)
+    bi = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count("*").alias("n1_fwd"),  # N1+(a, .)
+    )
+    back = bi.groupBy("b").agg(F.count("*").alias("n1_back"))  # N1+(., b)
+    n_bigrams = int(bi.count())
+    if n_bigrams == 0:
+        raise InputError("kn_bigram_logprob: corpus has no bigrams")
+    # left-associative, mirrored verbatim in the SQL oracle:
+    # (greatest(c_ab - D, 0) / c_a) + ((D * n1_fwd) / c_a) * (n1_back / B)
+    p = (
+        F.greatest(F.col("c_ab").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c_a").cast("double")
+        + (F.lit(d) * F.col("n1_fwd").cast("double"))
+        / F.col("c_a").cast("double")
+        * (F.col("n1_back").cast("double") / F.lit(float(n_bigrams)))
+    )
+    lut = (
+        bi.join(ctx, "a")
+        .join(back, "b")
+        .select("a", "b", F.floor(F.log(p) * F.lit(1000000000.0)).alias("lp_fp"))
+    )
+    return (
+        pairs.join(lut, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("lp_fp").alias("logprob_fp_sum"),
+        )
+        .select(
+            id_col,
+            "n_pairs",
+            "logprob_fp_sum",
+            (
+                F.col("logprob_fp_sum")
+                / (F.col("n_pairs") * F.lit(1000000000.0))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1051,6 +1051,43 @@ class TestTrigramLogprob:
             trigram_logprob(df, lambdas=(0.5, 0.2, 0.1))  # must sum to 1
 
 
+class TestKneserNey:
+    def test_hand_computed(self, spark):
+        import math
+
+        from epichypersketch_jl_spark.operators.lm import kn_bigram_logprob
+
+        # docs: a=(1,2,3), b=(1,2).  pairs: (1,2)x2, (2,3)x1
+        # bi: c_12=2, c_23=1; ctx: c_1=2 n1fwd_1=1; c_2=1 n1fwd_2=1
+        # back: n1back_2=1, n1back_3=1; B=2 distinct bigrams
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3], [1, 2, 3], "s"), ("b", [1, 2], [1, 2], "s")],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        out = {r.doc_id: r for r in kn_bigram_logprob(df, discount=0.75).collect()}
+        p12 = max(2 - 0.75, 0.0) / 2 + (0.75 * 1) / 2 * (1 / 2)
+        p23 = max(1 - 0.75, 0.0) / 1 + (0.75 * 1) / 1 * (1 / 2)
+        lp12 = math.floor(math.log(p12) * 1e9)
+        lp23 = math.floor(math.log(p23) * 1e9)
+        assert out["a"].n_pairs == 2 and out["a"].logprob_fp_sum == lp12 + lp23
+        assert out["b"].n_pairs == 1 and out["b"].logprob_fp_sum == lp12
+
+    def test_discount_guard(self, spark):
+        import pytest as _pytest
+
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.lm import kn_bigram_logprob
+
+        df = spark.createDataFrame(
+            [("a", [1, 2], [1, 2], "s")],
+            "doc_id string, tokens array<int>, positions array<int>, source string",
+        )
+        with _pytest.raises(InputError):
+            kn_bigram_logprob(df, discount=1.0)
+        with _pytest.raises(InputError):
+            kn_bigram_logprob(df, discount=0.0)
+
+
 class TestTokenEntropy:
     def test_hand_computed_and_extremes(self, spark):
         import math
