@@ -1552,6 +1552,38 @@ def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimated WITHOUT executing the join
+    (operators/moments.ams_join_size, AGMS 1999): orders.o_custkey vs
+    customer.c_custkey, two scan-and-aggregate passes, d=8 sign sums per
+    side.  Sketch state, the median-product estimate, AND the exact join
+    size companion are all SQL-recomputable — full value-hash oracle for
+    the planner statistic."""
+    from .operators.moments import ams_join_size
+
+    orders = read_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    est = ams_join_size(orders, "o_custkey", cust, "c_custkey", d=AMS_D)
+    exact = (
+        orders.groupBy("o_custkey").agg(F.count("*").alias("ca"))
+        .join(
+            cust.groupBy("c_custkey").agg(F.count("*").alias("cb")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "n_a",
+        "n_b",
+        *[f"sa_{r}" for r in range(AMS_D)],
+        *[f"sb_{r}" for r in range(AMS_D)],
+        "join_size_est",
+        "exact_join_size",
+    )
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact log2 histogram of document lengths per source
     (operators/histogram.value_histogram) — the distribution diagnostic
@@ -1710,6 +1742,7 @@ QUERIES = {
     "topk_distinct_sources": q_topk_distinct_sources,
     "kmv_source_set_ops": q_kmv_source_set_ops,
     "ams_f2_tokens": q_ams_f2_tokens,
+    "ams_join_size": q_ams_join_size,
     "doc_length_histogram": q_doc_length_histogram,
     "percentile_rank_events": q_percentile_rank_events,
     "events_asof_join": q_events_asof_join,
@@ -2773,6 +2806,48 @@ FROM b GROUP BY source, bucket ORDER BY source, bucket
 SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
        CAST(count(value) AS BIGINT) AS n_ok
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # AMS join-size: both sign-sum vectors, the median product, and the
+    # exact companion recomputed verbatim
+    "ams_join_size": """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_0,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_1,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_2,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_3,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_4,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_5,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_6,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(o_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sa_7
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 0) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_0,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 1000003) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_1,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 2000006) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_2,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 3000009) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_3,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 4000012) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_4,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 5000015) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_5,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 6000018) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_6,
+         CAST(sum((1 - 2 * ((((((((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST((CAST(c_custkey AS BIGINT) + 7000021) AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2))) AS BIGINT) AS sb_7
+  FROM customer WHERE c_custkey IS NOT NULL
+),
+ex AS (
+  SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_join_size FROM (
+    SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS ca FROM orders GROUP BY 1
+  ) oa JOIN (
+    SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cb FROM customer GROUP BY 1
+  ) cb ON oa.k = cb.k
+),
+m AS (
+  SELECT n_a, n_b, sa_0, sa_1, sa_2, sa_3, sa_4, sa_5, sa_6, sa_7, sb_0, sb_1, sb_2, sb_3, sb_4, sb_5, sb_6, sb_7,
+         list_sort([sa_0 * sb_0, sa_1 * sb_1, sa_2 * sb_2, sa_3 * sb_3, sa_4 * sb_4, sa_5 * sb_5, sa_6 * sb_6, sa_7 * sb_7]) AS ps
+  FROM a CROSS JOIN b
+)
+SELECT n_a, n_b, sa_0, sa_1, sa_2, sa_3, sa_4, sa_5, sa_6, sa_7, sb_0, sb_1, sb_2, sb_3, sb_4, sb_5, sb_6, sb_7, ps[4] AS join_size_est, exact_join_size
+FROM m CROSS JOIN ex
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},

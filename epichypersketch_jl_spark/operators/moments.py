@@ -95,3 +95,55 @@ def ams_f2(
     # is the single estimate itself
     est = F.element_at(sq, (d + 1) // 2)
     return agg.withColumn("f2_est", est.cast("long"))
+
+
+def ams_join_size(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    *,
+    d: int = 8,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate without executing the join — the
+    original AMS application (Alon-Gibbons-Matias-Szegedy 1999): for the
+    same d sign hashes, E[S_A_r * S_B_r] = sum_v cA(v)*cB(v) = |A join B|.
+    Each side costs one scan-and-aggregate (d partial sums per task, no
+    shuffle of values); the estimate is the lower median of the d
+    products.  The planner statistic for "should this join be broadcast,
+    salted, or avoided" at 100 TB — priced at two column scans.
+
+    Unlike F2 (a sum of squares), cross products can be negative; the
+    estimator is unbiased but individual products may undershoot zero —
+    emitted as-is (clamp at the call site if a lower bound of 0 is
+    wanted).  Same SQL-exactness as ams_f2: sign sums and the median
+    product are pure integer/Catalyst arithmetic.
+
+    Returns one row: (n_a, n_b, sa_0..sa_{d-1}, sb_0..sb_{d-1},
+    join_size_est)."""
+    if d < 1:
+        raise InputError(f"ams_join_size needs d >= 1, got {d}")
+    for df, c, side in ((df_a, col_a, "left"), (df_b, col_b, "right")):
+        if c not in df.columns:
+            raise InputError(f"ams_join_size: {side} input lacks column {c!r}")
+
+    def side_sums(df: DataFrame, col: str, prefix: str) -> DataFrame:
+        is_list = df.schema[col].dataType.typeName() == "array"
+        v = F.explode(col) if is_list else F.col(col)
+        src = df.select(v.alias("__v")).where(F.col("__v").isNotNull())
+        aggs = [F.count("*").alias(f"n_{prefix}")] + [
+            F.coalesce(F.sum(F.expr(sign_sql("__v", r))), F.lit(0))
+            .cast("long")
+            .alias(f"s{prefix}_{r}")
+            for r in range(d)
+        ]
+        return src.agg(*aggs)
+
+    a = side_sums(df_a, col_a, "a")
+    b = side_sums(df_b, col_b, "b")
+    joined = a.crossJoin(b)  # two single-row frames
+    prods = F.array_sort(
+        F.array(*[F.col(f"sa_{r}") * F.col(f"sb_{r}") for r in range(d)])
+    )
+    est = F.element_at(prods, (d + 1) // 2)
+    return joined.withColumn("join_size_est", est.cast("long"))

@@ -72,6 +72,34 @@ class TestAmsF2:
         with pytest.raises(InputError):
             ams_f2(empty, "nope")
 
+    def test_join_size_tracks_exact(self, spark):
+        from epichypersketch_jl_spark.operators.moments import ams_join_size
+
+        rng = np.random.default_rng(2)
+        av = rng.zipf(1.6, size=8000)
+        av = av[av < 3000]
+        bv = rng.zipf(1.6, size=8000)
+        bv = bv[bv < 3000]
+        da = spark.createDataFrame([(int(v),) for v in av], "k long").repartition(5)
+        db = spark.createDataFrame([(int(v),) for v in bv], "k long").repartition(3)
+        (row,) = ams_join_size(da, "k", db, "k", d=8).collect()
+        ua, ca = np.unique(av, return_counts=True)
+        ub, cb = np.unique(bv, return_counts=True)
+        common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+        exact = int((ca[ia].astype(np.int64) * cb[ib]).sum())
+        assert row.n_a == len(av) and row.n_b == len(bv)
+        assert exact / 3 <= row.join_size_est <= exact * 3, (row.join_size_est, exact)
+
+    def test_join_size_disjoint_keys_near_zero(self, spark):
+        from epichypersketch_jl_spark.operators.moments import ams_join_size
+
+        da = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        db = spark.createDataFrame([(i,) for i in range(10_000, 10_500)], "k long")
+        (row,) = ams_join_size(da, "k", db, "k", d=8).collect()
+        # true join size 0: the median product must be sub-noise, far
+        # from the n_a*n_b = 250k a real overlap would produce
+        assert abs(row.join_size_est) < 50_000
+
     def test_single_aggregate_plan(self, spark):
         """The sketch is one aggregate: exactly one shuffle (the final
         partial-sum exchange), no join, no groupBy on values."""
