@@ -140,3 +140,25 @@ def test_fuzz_unrank_matches_itertools(L, k, data):
     full = list(combinations(range(L), k))
     want = np.array([full[r] for r in ranks], dtype=np.int64).reshape(len(ranks), k)
     assert np.array_equal(got, want)
+
+
+@_settings
+@given(
+    keys=keys_strategy,
+    slack=st.integers(0, 2**32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cms_vmax_path_equals_scan_path(keys, slack, seed):
+    """Any caller-supplied bound >= the true max (with arbitrary slack)
+    must leave update_batch_grouped / estimate_grouped byte-identical to
+    the scanning path — across the bincount/sort/direct ladder branches
+    the bound's bit-width selects."""
+    arr = np.asarray(keys, dtype=np.int64).reshape(-1, 2)
+    vmax = (int(arr.max()) if arr.size else 0) + slack
+    a = CountMinSketch(delta=0.01, epsilon=0.01, key_width=2, seed=seed)
+    b = CountMinSketch(delta=0.01, epsilon=0.01, key_width=2, seed=seed)
+    a.update_batch_grouped(arr, vmax=vmax)
+    b.update_batch_grouped(arr)
+    assert a == b and a.n_updates == b.n_updates
+    if arr.size:
+        assert (a.estimate_grouped(arr, vmax=vmax) == b.estimate_grouped(arr)).all()
