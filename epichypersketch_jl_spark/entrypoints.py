@@ -1584,6 +1584,50 @@ def q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CS_W = 16
+CS_D = 5
+
+
+def q_count_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count Sketch (sketches/countsketch.py — the signed, UNBIASED
+    counter family member) over the token column at width 16, where the
+    31-token vocabulary forces ~2 tokens per bucket per row — the
+    COLLISION regime: the estimates differ from
+    exact counts, and the oracle recomputes THOSE ESTIMATES exactly —
+    bucket hash, sign hash, every colliding cell sum, and the odd-depth
+    integer median are all the package's SQL-expressible permutation
+    arithmetic.  A full value-hash oracle of an approximate sketch
+    including its collision error."""
+    import numpy as np
+
+    from .operators.sketch_build import build_sketch_distributed
+    from .sketches.countsketch import CountSketch
+
+    seq = _seq(spark, sf_dir)
+    src = seq.select(F.explode("tokens").alias("v"))
+
+    def update(sk: CountSketch, batch, stats: dict) -> None:
+        vals = batch.column("v").to_numpy(zero_copy_only=False)
+        sk.update_batch(vals)
+        stats["n_rows"] += batch.num_rows
+        stats["n_updates"] += len(vals)
+
+    cs, _ = build_sketch_distributed(
+        src, lambda: CountSketch(width=CS_W, depth=CS_D), update
+    )
+    rows = src.groupBy("v").agg(F.count("*").alias("exact_c")).collect()
+    toks = np.array([r.v for r in rows], dtype=np.int64)
+    est = cs.estimate(toks) if len(rows) else np.empty(0, dtype=np.int64)
+    out = spark.createDataFrame(
+        [
+            (int(t), int(r.exact_c), int(e))
+            for t, r, e in zip(toks, rows, est)
+        ],
+        "tok long, exact_c long, cs_est long",
+    )
+    return out.orderBy("tok")
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact log2 histogram of document lengths per source
     (operators/histogram.value_histogram) — the distribution diagnostic
@@ -1743,6 +1787,7 @@ QUERIES = {
     "kmv_source_set_ops": q_kmv_source_set_ops,
     "ams_f2_tokens": q_ams_f2_tokens,
     "ams_join_size": q_ams_join_size,
+    "count_sketch_tokens": q_count_sketch_tokens,
     "doc_length_histogram": q_doc_length_histogram,
     "percentile_rank_events": q_percentile_rank_events,
     "events_asof_join": q_events_asof_join,
@@ -2848,6 +2893,32 @@ m AS (
 )
 SELECT n_a, n_b, sa_0, sa_1, sa_2, sa_3, sa_4, sa_5, sa_6, sa_7, sb_0, sb_1, sb_2, sb_3, sb_4, sb_5, sb_6, sb_7, ps[4] AS join_size_est, exact_join_size
 FROM m CROSS JOIN ex
+""",
+    # Count Sketch: the oracle rebuilds every colliding cell and the
+    # integer median, reproducing the approximate estimates exactly
+    "count_sketch_tokens": f"""
+WITH {_TOK_CTE},
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+rs AS (SELECT unnest([0, 1, 2, 3, 4]) AS r),
+hb AS (
+  SELECT tok, c, r,
+         CAST((((((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 16 AS BIGINT) AS bucket,
+         CAST(1 - 2 * ((((((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2) AS BIGINT) AS sgn
+  FROM uni CROSS JOIN rs
+),
+cells AS (
+  SELECT r, bucket, CAST(sum(sgn * c) AS BIGINT) AS cell
+  FROM hb GROUP BY r, bucket
+),
+ests AS (
+  SELECT hb.tok, hb.c, hb.sgn * cells.cell AS est_r
+  FROM hb JOIN cells ON cells.r = hb.r AND cells.bucket = hb.bucket
+),
+med AS (
+  SELECT tok, min(c) AS exact_c, list_sort(list(est_r)) AS es
+  FROM ests GROUP BY tok
+)
+SELECT tok, exact_c, es[3] AS cs_est FROM med ORDER BY tok
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},

@@ -1,5 +1,6 @@
 from .base import MergeableSketch, from_bytes
 from .cms import CountMinSketch
+from .countsketch import CountSketch
 from .hll import HyperLogLog
 from .bloom import BloomFilter
 from .kll import KLL
@@ -10,6 +11,7 @@ __all__ = [
     "MergeableSketch",
     "from_bytes",
     "CountMinSketch",
+    "CountSketch",
     "HyperLogLog",
     "BloomFilter",
     "KLL",
