@@ -1628,6 +1628,49 @@ def q_count_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tok")
 
 
+def q_count_sketch_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shift detection via SIGNED sketch subtraction — the thing a
+    one-sided CMS cannot do: sketch(even-doc tokens) minus sketch(odd-doc
+    tokens) yields unbiased per-token frequency-DIFFERENCE estimates.
+    Same collision-exact oracle machinery as count_sketch_tokens, over
+    the difference table."""
+    import numpy as np
+
+    from .operators.sketch_build import build_sketch_distributed
+    from .sketches.countsketch import CountSketch
+
+    seq = _seq(spark, sf_dir)
+    tok = seq.select(F.col("doc_id"), F.explode("tokens").alias("v"))
+
+    def update(sk: CountSketch, batch, stats: dict) -> None:
+        vals = batch.column("v").to_numpy(zero_copy_only=False)
+        sk.update_batch(vals)
+        stats["n_rows"] += batch.num_rows
+        stats["n_updates"] += len(vals)
+
+    mk = lambda: CountSketch(width=CS_W, depth=CS_D)
+    cs_a, _ = build_sketch_distributed(
+        tok.where(F.col("doc_id") % 2 == 0).select("v"), mk, update
+    )
+    cs_b, _ = build_sketch_distributed(
+        tok.where(F.col("doc_id") % 2 == 1).select("v"), mk, update
+    )
+    diff = cs_a.subtract(cs_b)
+    exact = tok.groupBy("v").agg(
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        ).cast("long").alias("exact_diff")
+    )
+    rows = exact.collect()  # vocab-bounded
+    toks = np.array([r.v for r in rows], dtype=np.int64)
+    est = diff.estimate(toks) if len(rows) else np.empty(0, dtype=np.int64)
+    out = spark.createDataFrame(
+        [(int(t), int(r.exact_diff), int(e)) for t, r, e in zip(toks, rows, est)],
+        "tok long, exact_diff long, cs_diff_est long",
+    )
+    return out.orderBy("tok")
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact log2 histogram of document lengths per source
     (operators/histogram.value_histogram) — the distribution diagnostic
@@ -1788,6 +1831,7 @@ QUERIES = {
     "ams_f2_tokens": q_ams_f2_tokens,
     "ams_join_size": q_ams_join_size,
     "count_sketch_tokens": q_count_sketch_tokens,
+    "count_sketch_shift": q_count_sketch_shift,
     "doc_length_histogram": q_doc_length_histogram,
     "percentile_rank_events": q_percentile_rank_events,
     "events_asof_join": q_events_asof_join,
@@ -2919,6 +2963,35 @@ med AS (
   FROM ests GROUP BY tok
 )
 SELECT tok, exact_c, es[3] AS cs_est FROM med ORDER BY tok
+""",
+    # signed-difference sketch: cells are sums of sign * (cA - cB)
+    "count_sketch_shift": f"""
+WITH {_TOK_CTE},
+uni AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c
+  FROM toks GROUP BY tok
+),
+rs AS (SELECT unnest([0, 1, 2, 3, 4]) AS r),
+hb AS (
+  SELECT tok, c, r,
+         CAST((((((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + r * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 16 AS BIGINT) AS bucket,
+         CAST(1 - 2 * ((((((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) * (((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) % 2147483647 + 69069 * (((((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) % 2147483647 + 1103515245 * ((CAST(tok + (r + 64) * 1000003 AS BIGINT) % 2147483647 + 2147483647) % 2147483647) + 12345) % 2147483647)) + 362437) % 2147483647) % 2) AS BIGINT) AS sgn
+  FROM uni CROSS JOIN rs
+),
+cells AS (
+  SELECT r, bucket, CAST(sum(sgn * c) AS BIGINT) AS cell
+  FROM hb GROUP BY r, bucket
+),
+ests AS (
+  SELECT hb.tok, hb.c, hb.sgn * cells.cell AS est_r
+  FROM hb JOIN cells ON cells.r = hb.r AND cells.bucket = hb.bucket
+),
+med AS (
+  SELECT tok, min(c) AS exact_diff, list_sort(list(est_r)) AS es
+  FROM ests GROUP BY tok
+)
+SELECT tok, exact_diff, es[3] AS cs_diff_est FROM med ORDER BY tok
 """,
     "kmv_doc_jaccard": f"""
 WITH {_TOK_CTE},

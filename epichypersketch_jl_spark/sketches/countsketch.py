@@ -126,6 +126,20 @@ class CountSketch(MergeableSketch):
         self.n_updates += other.n_updates
         return self
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Signed DIFFERENCE sketch: estimates of (self - other) are
+        unbiased estimates of the per-key frequency difference — the
+        corpus-shift / drift-detection primitive a one-sided CMS cannot
+        express (its counters never decrease).  Same linearity as merge:
+        sketch(A) - sketch(B) == sketch of the signed multiset A - B."""
+        self._compat(other)
+        return CountSketch(
+            width=self.width,
+            depth=self.depth,
+            _table=self.table - other.table,
+            _n_updates=self.n_updates + other.n_updates,
+        )
+
     # ------------------------------------------------------------- serialize
     def _payload(self) -> bytes:
         amax = int(np.abs(self.table).max()) if self.table.size else 0

@@ -449,3 +449,23 @@ class TestCountSketch:
         a, b = CountSketch(width=64, depth=3), CountSketch(width=128, depth=3)
         with pytest.raises(MergeError):
             a.merge(b)
+
+    def test_subtract_is_signed_difference(self):
+        from epichypersketch_jl_spark.sketches import CountSketch
+
+        rng = np.random.default_rng(7)
+        a_vals = rng.integers(0, 40, size=5000).astype(np.int64)
+        b_vals = rng.integers(0, 40, size=4000).astype(np.int64)
+        sa = CountSketch(width=512, depth=5); sa.update_batch(a_vals)
+        sb = CountSketch(width=512, depth=5); sb.update_batch(b_vals)
+        diff = sa.subtract(sb)
+        keys = np.arange(40, dtype=np.int64)
+        ca = np.bincount(a_vals, minlength=40).astype(np.int64)
+        cb = np.bincount(b_vals, minlength=40).astype(np.int64)
+        # 40 keys into 512 buckets x depth 5: collision-free whp -> exact
+        assert (diff.estimate(keys) == ca - cb).all()
+        # linearity: subtract == update with negative counts
+        sc = CountSketch(width=512, depth=5)
+        sc.update_batch(a_vals)
+        sc.update_batch(b_vals, -np.ones(len(b_vals), dtype=np.int64))
+        assert np.array_equal(sc.table, diff.table)
