@@ -155,6 +155,30 @@ def q_conv_motifs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_configurations(seq, cfg, validate=False)
 
 
+CONV3_MIN = 3
+
+
+def q_conv_motifs_k3_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convolution mode at k=3 — the reference's flagship convolution test is
+    motif_size=3 (test/test_large_example_convolution.jl:43-135); this puts
+    the same tier under the driver's value-hash gate (verdict r4 item 1).
+    Pattern key = (m1, d12, m2, d23, m3) with gap d = delta_pos - filter_len
+    (CPU semantics, src/count_cpu.jl:47-53).  Same n_tok <= 40 slice as
+    conv_motifs_k2 so the oracle reuses _POS_CTE; at sf0.01 that is 580k
+    triples over 514k distinct keys — epsilon 1e-6 (width 2.72M, load 0.19)
+    with depth 10 puts the all-rows collision probability near 2e-8 per key,
+    so every reported estimate equals the exact count."""
+    seq = _seq(spark, sf_dir, with_positions=True).filter("n_tok <= 40")
+    cfg = HyperSketchConfig(
+        motif_size=3,
+        min_count=CONV3_MIN,
+        filter_len=CONV_FILTER_LEN,
+        seed=42,
+        epsilon=1e-6,
+    )
+    return motif_counts(seq, cfg)
+
+
 def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=1 heavy hitters via the aggregated pipeline (map-side combine)."""
     seq = _seq(spark, sf_dir)
@@ -1787,6 +1811,7 @@ QUERIES = {
     "motifs_k4_summary": q_motifs_k4_summary,
     "motifs_k5_summary": q_motifs_k5_summary,
     "conv_motifs_k2": q_conv_motifs_k2,
+    "conv_motifs_k3_summary": q_conv_motifs_k3_summary,
     "heavy_tokens": q_heavy_tokens,
     "ntok_stats": q_ntok_stats,
     "motifs_k2_conservative": q_motifs_k2_conservative,
@@ -1958,6 +1983,23 @@ SELECT p.m1, p.m2, p.d12, p.start, p."end", p.doc_id,
        CAST(2.0 AS DOUBLE) AS contribution, c.c AS count
 FROM pairs p JOIN cnt c USING (m1, m2, d12)
 WHERE c.c >= {CONV_MIN}
+""",
+    "conv_motifs_k3_summary": f"""
+WITH {_POS_CTE},
+trips AS (
+  SELECT a.tok AS m1, b.tok AS m2, c.tok AS m3,
+         CAST(b.pos - a.pos - {CONV_FILTER_LEN} AS INT) AS d12,
+         CAST(c.pos - b.pos - {CONV_FILTER_LEN} AS INT) AS d23
+  FROM ptoks a
+  JOIN ptoks b ON a.doc_id = b.doc_id AND a.pos < b.pos
+  JOIN ptoks c ON b.doc_id = c.doc_id AND b.pos < c.pos
+  WHERE b.pos - a.pos - {CONV_FILTER_LEN} >= 0
+    AND c.pos - b.pos - {CONV_FILTER_LEN} >= 0
+),
+cnt AS (SELECT m1, m2, m3, d12, d23, count(*) AS c FROM trips GROUP BY ALL)
+SELECT m1, m2, m3, d12, d23, c AS count, c AS n_occurrences,
+       CAST(3.0 * c AS DOUBLE) AS total_contribution
+FROM cnt WHERE c >= {CONV3_MIN}
 """,
     "heavy_tokens": f"""
 WITH {_TOK_CTE},
