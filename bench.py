@@ -35,6 +35,89 @@ def build_spark(cpus: int):
     )
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _cpu_stat() -> tuple[int, int]:
+    """(total, idle) jiffies across all CPUs from /proc/stat."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[3] + vals[4]  # idle + iowait
+
+
+def _tree_jiffies() -> int:
+    """CPU jiffies (utime+stime) consumed by this process and every live
+    descendant — the Python driver plus the local-mode JVM and its Python
+    workers.  Dead children are not re-counted because reps compare deltas
+    over an interval during which the tree is live."""
+    info: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rfind(")") + 2 :].split()
+        info[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    mine, frontier = 0, {os.getpid()}
+    while frontier:
+        nxt = set()
+        for pid, (ppid, jiff) in info.items():
+            if ppid in frontier:
+                nxt.add(pid)
+        for pid in frontier:
+            if pid in info:
+                mine += info[pid][1]
+        frontier = nxt
+    return mine
+
+
+# A rep is contaminated when more than this fraction of the box's total CPU
+# jiffies during the rep went to processes OUTSIDE our tree.  loadavg alone
+# cannot make that call: our own 32-core burst inflates the 1-min average for
+# the rest of the bench (BENCH_r04's phantom 2.2x regression, VERDICT r4).
+EXT_CPU_CONTAMINATION_FRAC = 0.05
+
+
+def run_reps(fn, reps: int, max_retries: int = 2):
+    """Best-of-N with per-rep hygiene: each rep records wall time, loadavg at
+    start, and the external-CPU fraction over the rep; contaminated reps are
+    retried (bounded) and excluded from the accepted minimum when any clean
+    rep exists.  Returns (best_wall, last_result, rep_records)."""
+    recs: list[dict] = []
+    result = None
+    attempts = reps + max_retries
+    while len([r for r in recs if r["accepted"]]) < reps and attempts > 0:
+        attempts -= 1
+        la = _loadavg()
+        tot0, idle0 = _cpu_stat()
+        ours0 = _tree_jiffies()
+        t0 = time.monotonic()
+        result = fn()
+        wall = time.monotonic() - t0
+        tot1, idle1 = _cpu_stat()
+        ours1 = _tree_jiffies()
+        total_j = max(1, tot1 - tot0)
+        busy_j = total_j - (idle1 - idle0)
+        ext_frac = max(0.0, busy_j - (ours1 - ours0)) / total_j
+        recs.append(
+            {
+                "wall_sec": round(wall, 3),
+                "loadavg": la,
+                "ext_cpu_frac": round(ext_frac, 4),
+                "accepted": ext_frac <= EXT_CPU_CONTAMINATION_FRAC,
+            }
+        )
+    accepted = [r["wall_sec"] for r in recs if r["accepted"]]
+    if not accepted:  # every rep contaminated: flag, fall back to raw min
+        accepted = [r["wall_sec"] for r in recs]
+    return min(accepted), result, recs
+
+
 def wait_for_quiet(threshold: float = 2.0, timeout_s: float = 120.0) -> float:
     """Block until the 1-min loadavg settles (bounded).  Kernel memory
     compaction (khugepaged/kcompactd) after a previous Spark run measurably
@@ -78,14 +161,13 @@ def main() -> None:
     # scan already yields ~cpus partitions (32 files + bytesPerCore split)
     seq = tokenized_sequences(spark, sf_dir).cache()
     n_tokens = seq.selectExpr("sum(n_tok) as t").collect()[0].t
-    build_s = None
-    for _rep in range(reps):
-        t0 = time.monotonic()
-        cms, metrics = build_motif_cms(
+    build_s, (cms, _metrics), recs = run_reps(
+        lambda: build_motif_cms(
             seq, HyperSketchConfig(motif_size=2, min_count=1, seed=42)
-        )
-        dt = time.monotonic() - t0
-        build_s = dt if build_s is None else min(build_s, dt)
+        ),
+        reps,
+    )
+    rep_log: dict[str, list] = {"sketch_build_k2": recs}
     times["sketch_build_k2"] = round(build_s, 3)
     extras["tokens_per_sec"] = round(n_tokens / build_s, 1)
     extras["updates_per_sec"] = round(cms.n_updates / build_s, 1)
@@ -102,16 +184,16 @@ def main() -> None:
         "motifs_k3_summary": ep.q_motifs_k3_summary,
     }
     for name, fn in bench_queries.items():
-        best, n = None, 0
-        for _rep in range(reps):  # best-of-N: single-box runs are noisy
-            t0 = time.monotonic()
-            n = fn(spark, sf_dir).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        best, n, recs = run_reps(lambda fn=fn: fn(spark, sf_dir).count(), reps)
+        rep_log[name] = recs
         times[name] = round(best, 3)
         extras[f"rows_{name}"] = n
     extras["start_loadavg"] = start_load
     extras["bench_reps"] = reps
+    extras["reps_detail"] = rep_log
+    extras["bench_contaminated"] = any(
+        not any(r["accepted"] for r in recs) for recs in rep_log.values()
+    )
     seq.unpersist()
 
     # sf1 tier (VERDICT r3 item 9): the recorded headline now carries the
@@ -129,12 +211,8 @@ def main() -> None:
         tokenized_sequences(spark, SF1).count()
         sf1_times["tokenize_sec"] = round(time.monotonic() - t0, 3)
         for name, fn in bench_queries.items():
-            best = None
-            for _rep in range(reps):
-                t0 = time.monotonic()
-                n = fn(spark, SF1).count()
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
+            best, n, recs = run_reps(lambda fn=fn: fn(spark, SF1).count(), reps)
+            rep_log[f"sf1_{name}"] = recs
             sf1_times[name] = round(best, 3)
             sf1_times[f"rows_{name}"] = n
         sf1_times["total_sec"] = round(
