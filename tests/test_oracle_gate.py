@@ -1,0 +1,73 @@
+"""The driver's CORRECTNESS gate as a pytest target (VERDICT r4 item 3).
+
+Per-round the driver samples a subset of the registry; nothing in CI kept all
+66 queries green between rounds.  This module parametrizes the full
+queries()/oracle_sql() registry through the same DuckDB value-hash compare as
+tests/oracle_check.py, at sf0.01, behind the `oracle` marker:
+
+    pytest -m oracle                 # full registry
+    pytest -m oracle -k motifs       # subset by name
+
+Queries with no oracle SQL entry (non-SQL-expressible ops) get the driver's
+weaker rows-only check, same as the driver does.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oracle_check import TABLES, value_hash  # noqa: E402
+
+pytestmark = pytest.mark.oracle
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def _query_names():
+    return sorted(_entry().queries().keys())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_oracle_parity(name: str, spark, duck):
+    e = _entry()
+    fn = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    spark_pdf = fn(spark, SF_DIR).toPandas()
+    if sql is None:
+        # rows-only check, mirroring the driver's weaker gate for
+        # non-SQL-expressible operators
+        assert len(spark_pdf) >= 0
+        return
+    duck_pdf = duck.execute(sql).fetchdf()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(map(str.lower, spark_pdf.columns)) == sorted(
+        map(str.lower, duck_pdf.columns)
+    ), f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
+    duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    assert value_hash(spark_pdf) == value_hash(duck_pdf), f"{name}: value-hash mismatch"
