@@ -81,11 +81,20 @@ def build(docs: int):
     out["exact_dedup_sec"] = round(time.monotonic() - t0, 1)
     out["exact_dup_rows"] = n_groups
 
-    # ---- MinHash-LSH near-dup at 1M docs
-    t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(df, n=3, num_perm=64, bands=16, threshold=0.5)
-    n_pairs = pairs.count()
-    out["minhash_lsh_sec"] = round(time.monotonic() - t0, 1)
+    # ---- MinHash-LSH near-dup at 1M docs (bands solved from the threshold)
+    from epichypersketch_jl_spark.operators.dedup import solve_lsh_params
+
+    out["lsh_bands_rows"] = list(solve_lsh_params(0.5, 64))
+    # two reps: the first pays session warmup (JIT, Python workers, page
+    # cache) that a production job amortizes; both are recorded
+    walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(df, n=3, num_perm=64, threshold=0.5)
+        n_pairs = pairs.count()
+        walls.append(round(time.monotonic() - t0, 1))
+    out["minhash_lsh_sec"] = min(walls)
+    out["minhash_lsh_reps"] = walls
     out["lsh_pairs_found"] = n_pairs
     if planted:
         out["lsh_recall_vs_planted"] = round(n_pairs / planted, 4)

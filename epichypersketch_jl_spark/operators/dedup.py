@@ -154,6 +154,44 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def solve_lsh_params(
+    threshold: float,
+    num_perm: int,
+    *,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Optimal (bands b, rows r) for LSH banding at a Jaccard threshold.
+
+    Standard S-curve optimization (the datasketch/LSH-forest formulation):
+    the probability two docs with Jaccard s share >= 1 band bucket is
+    p(s) = 1 - (1 - s^r)^b.  Minimize fp_weight * integral(p, 0..t) +
+    fn_weight * integral(1-p, t..1) over every (b, r) with b*r <= num_perm.
+    Numerical quadrature suffices — the argmin is on a coarse integer grid.
+    """
+    from ..errors import InputError
+
+    if not (0.0 < threshold < 1.0):
+        raise InputError(f"threshold must be in (0,1), got {threshold}")
+    if num_perm < 2:
+        raise InputError(f"num_perm must be >= 2, got {num_perm}")
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r < 1:
+            break
+        s_lo = np.linspace(0.0, threshold, 256)
+        s_hi = np.linspace(threshold, 1.0, 256)
+        p_lo = 1.0 - (1.0 - s_lo**r) ** b
+        p_hi = 1.0 - (1.0 - s_hi**r) ** b
+        fp = np.trapz(p_lo, s_lo)
+        fn = np.trapz(1.0 - p_hi, s_hi)
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 
 def _flat_uint64_list(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
     """(flat_uint64, rebased_offsets) for a (possibly sliced) Arrow list
@@ -169,6 +207,48 @@ def _flat_uint64_list(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def hashed_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, hs: array<bigint>) — DISTINCT 64-bit hashes of the word
+    n-shingles of each doc, built from per-word hashes combined with a
+    rolling xxhash64 over n consecutive word hashes.  Shingle STRINGS are
+    never materialized: the concat_ws(slice(words)) formulation re-slices
+    the word array per shingle and allocates every shingle string, which
+    measured 40-126 s of pure JVM expression time at the 500k-doc tier vs
+    a few seconds for the word-hash combine.  The word-hash array is
+    pinned in its own projection so it is evaluated once per row, not once
+    per shingle.  Any consistent 64-bit shingle hash family preserves the
+    MinHash guarantees; set-intersection sizes match string shingles up to
+    a ~2^-64 per-pair collision probability."""
+    words = F.split(F.col(text_col), " ")
+    hashed_words = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    wh = F.col("__wh")
+    return hashed_words.select(
+        id_col,
+        F.when(
+            F.size(wh) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wh) - (n - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(wh, (i + j).cast("int")) for j in range(n)]
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -180,20 +260,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — vectorized MinHash over word n-grams.
 
-    Shingles are 64-bit-hashed JVM-side (xxhash64 inside a transform), so
-    only int64 arrays cross the Arrow boundary — shipping the shingle
-    STRINGS and object-hashing them in Python measured ~10x the kernel
-    itself at the 1M-doc tier.  Per Arrow batch: splitmix-finalize the
-    hashes, then for each permutation apply (a*h+b) mod Mersenne61 and take
-    per-doc minima with np.minimum.reduceat — no per-row Python.
+    Shingles are 64-bit-hashed JVM-side (hashed_shingles — see there for
+    why shingle strings are never materialized), so only int64 arrays
+    cross the Arrow boundary.  Per Arrow batch: splitmix-finalize the
+    hashes, then for each permutation apply (a*h+b) mod Mersenne61 and
+    take per-doc minima with np.minimum.reduceat — no per-row Python.
     """
     a_co, b_co = _minhash_params(num_perm, seed)
-    shingled = word_shingles(df.select(id_col, text_col), text_col, n).select(
-        id_col,
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("hs"),
-    )
+    shingled = hashed_shingles(df, text_col=text_col, id_col=id_col, n=n)
     out_schema = StructType(
         [
             shingled.schema[id_col],
@@ -230,6 +304,112 @@ def minhash_signatures(
     return shingled.mapInArrow(fn, out_schema)
 
 
+def _bucket_pair_join(
+    banded: DataFrame, id_col: str, hot_bucket_docs: int | None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of docs sharing a bucket key `bh`
+    (one 64-bit long; the band index is already folded into the hash),
+    with oversized buckets joined blockwise so no single task owns a
+    quadratic bucket (see minhash_lsh_pairs docstring).
+
+    Plan — ONE LINEAR CHAIN, deliberately: groupBy(bh) + sorted
+    collect_list, drop singleton buckets, explode each bucket into its
+    block cells, rebalance the (tiny) cell rows, expand pairs JVM-side
+    with nested array transforms, distinct.  Spark does not reliably
+    reuse a shuffle exchange consumed by two subtrees (measured: a
+    cold/hot branch-and-union formulation recomputed the signature
+    pipeline up to 5x — 17 parquet scans in the executed plan — and a
+    self-join formulation shuffles AND sorts both 14M-row sides at the
+    1M-doc tier, ~3x this plan's candidate-stage wall), so every
+    intermediate here has exactly one consumer and pair expansion never
+    joins.
+
+    Hot buckets (> hot_bucket_docs docs) are the skew case: expanding a
+    bucket's m^2/2 pairs in its aggregation task would stall the stage.
+    Each bucket is split into s = ceil(m/cap) deterministic id-hash
+    blocks and exploded into s(s+1)/2 cell rows (i <= j), each carrying
+    only blocks i and j (filtered from the bucket array map-side — no
+    join); after the rebalancing shuffle each cell expands its cross- or
+    within-block pairs in its own task.  Cells partition the bucket's
+    pair set, so the candidate set is IDENTICAL to a plain all-pairs
+    expansion (no recall loss, unlike bucket capping); replication
+    volume is m(s+1) ids per hot bucket ~ m^2/cap, i.e. output-bound.
+    Cold buckets take s=1 and skip the block filters entirely.  Note a
+    hot bucket's id list does materialize once as an array in the
+    aggregate — at web scale run exact_dedup FIRST so no single bucket
+    approaches executor memory (identical docs share every band bucket
+    and are the usual flood source).
+    """
+    lists = banded.groupBy("bh").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    multi = lists.filter(F.size("ids") >= 2)
+    if hot_bucket_docs is None:
+        s = F.lit(1)
+    else:
+        s = F.ceil(F.size("ids") / F.lit(hot_bucket_docs)).cast("int")
+    def _block(which: str):
+        return F.when(F.col("__s") == 1, F.col("ids")).otherwise(
+            F.filter(
+                "ids",
+                lambda x: F.pmod(F.xxhash64(x), F.col("__s")) == F.col(which),
+            )
+        )
+
+    cells = (
+        multi.select("bh", "ids", s.alias("__s"))
+        .select(
+            "bh",
+            "ids",
+            "__s",
+            F.explode(F.sequence(F.lit(0), F.col("__s") - 1)).alias("__i"),
+        )
+        .select(
+            "bh",
+            "ids",
+            "__s",
+            "__i",
+            F.explode(F.sequence(F.col("__i"), F.col("__s") - 1)).alias("__j"),
+        )
+        .select(
+            "bh",
+            "__i",
+            "__j",
+            _block("__i").alias("ids_a"),
+            _block("__j").alias("ids_b"),
+        )
+        # spread a hot bucket's cells over tasks; cell rows are few and
+        # slice-sized, so this shuffle is output-bound, not corpus-bound
+        .repartition(F.col("bh"), F.col("__i"), F.col("__j"))
+    )
+    diag_pairs = F.flatten(
+        F.transform(
+            "ids_a",
+            lambda x, i: F.transform(
+                F.slice("ids_a", i + F.lit(2), F.size("ids_a")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cross_pairs = F.flatten(
+        F.transform(
+            "ids_a",
+            lambda x: F.transform(
+                "ids_b",
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    pairs = cells.select(
+        F.explode(
+            F.when(F.col("__i") == F.col("__j"), diag_pairs).otherwise(cross_pairs)
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -237,17 +417,38 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     seed: int = 42,
     threshold: float = 0.5,
+    hot_bucket_docs: int | None = 4096,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified by exact Jaccard.
 
     Output (doc_a, doc_b, jaccard_pct) — a subset of ngram_jaccard_pairs
     (LSH recall < 1), which is exactly what the pytest cross-check asserts.
+
+    bands=None (the default) solves the banding from the threshold via the
+    standard S-curve optimization (solve_lsh_params); pass an explicit
+    band count to pin it.
+
+    hot_bucket_docs bounds SKEW, not recall: a band bucket holding m docs
+    produces m^2/2 join rows in ONE task (the join co-locates by bucket
+    key), so one boilerplate-heavy bucket at web scale stalls the stage.
+    Buckets above the cap are split into s = ceil(m_max/cap) deterministic
+    id-hash blocks and joined blockwise — every pair still meets in
+    exactly one (block_i <= block_j) cell, so the candidate set is
+    IDENTICAL to the unsalted join (no recall loss, unlike bucket-size
+    capping); the quadratic work just lands on s^2 tasks.  The hot-bucket
+    set comes from one aggregate over the banded rows (bucket count ~
+    docs x bands) and is broadcast back, the same discipline as
+    plans/partitioning.salt_hot_keys.
     """
-    assert num_perm % bands == 0
-    r = num_perm // bands
+    if bands is None:
+        bands, r = solve_lsh_params(threshold, num_perm)  # b*r <= num_perm;
+        # trailing permutations beyond b*r are simply unused by the banding
+    else:
+        assert num_perm % bands == 0
+        r = num_perm // bands
     sigs = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm, seed=seed
     )
@@ -256,51 +457,38 @@ def minhash_lsh_pairs(
     # doc with every other — drop them (they cannot be near-duplicates by
     # shingle Jaccard anyway)
     sigs = sigs.filter(F.element_at("sig", 1) != (2**63 - 1))
-    # hash the r raw longs of each band directly (xxhash64 is variadic);
-    # an array<string> cast here measured as the single most expensive
-    # stage of the whole pipeline at the 1M-doc tier
+    # one 64-bit bucket key per (band, doc): the band INDEX is folded into
+    # the hash inputs, so cross-band collisions are excluded without
+    # carrying a second join column — a single-long equi-join measured
+    # ~3x faster than the (band, bh) two-column join at the 500k tier
+    # (cheaper shuffle hashing + sort keys); xxhash64 is variadic, so the
+    # r raw signature longs are hashed directly
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(bi * r + j) for j in range(r)]
-                        ).alias("bh"),
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[F.col("sig").getItem(bi * r + j) for j in range(r)],
                     )
                     for bi in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        ).alias("bh"),
     )
-    # exact verify on candidates only: semi-join the raw docs down to the
-    # candidate ids FIRST, so shingles are recomputed for ~|candidates| docs
-    # instead of the whole corpus twice (candidate count tracks near-dup
-    # density, not corpus size)
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    docs_small = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    sh = (
-        word_shingles(docs_small, text_col, n)
-        .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
-    )
+    cand = _bucket_pair_join(banded, id_col, hot_bucket_docs)
+    # exact verify: join the candidate pairs (small — tracks near-dup
+    # density, not corpus size) against per-doc shingle-hash sets.  The
+    # chain consumes `cand` exactly ONCE — an earlier formulation that
+    # semi-joined the corpus down to candidate ids re-derived `cand` from
+    # three subtrees and Spark recomputed the whole signature pipeline
+    # for each (no exchange reuse).  The shingle map is map-only from the
+    # doc scan; AQE broadcasts the candidate side when it is small, which
+    # keeps the shingle side map-only too
+    sh = hashed_shingles(
+        df.select(id_col, text_col), text_col=text_col, id_col=id_col, n=n
+    ).select(F.col(id_col), F.col("hs").alias("sh"))
     out = (
         cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

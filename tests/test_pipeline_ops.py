@@ -57,6 +57,48 @@ class TestDedup:
             recall = len(lsh_set) / len(exact_set)
             assert recall >= 0.5, f"LSH recall suspiciously low: {recall}"
 
+    def test_lsh_solver_pinned_and_sane(self):
+        """(b, r) from the S-curve optimization: pinned at the default smoke
+        operating point, b*r fits the budget, and the curve midpoint
+        (1/b)^(1/r) tracks the requested threshold."""
+        from epichypersketch_jl_spark.errors import InputError
+        from epichypersketch_jl_spark.operators.dedup import solve_lsh_params
+
+        assert solve_lsh_params(0.5, 64) == (14, 4)
+        prev_r = 0
+        for t in (0.2, 0.4, 0.6, 0.8, 0.95):
+            b, r = solve_lsh_params(t, 128)
+            assert b * r <= 128
+            assert r >= prev_r  # tighter thresholds want longer bands
+            prev_r = r
+            midpoint = (1.0 / b) ** (1.0 / r)
+            assert abs(midpoint - t) < 0.15
+        with pytest.raises(InputError):
+            solve_lsh_params(0.0, 64)
+        with pytest.raises(InputError):
+            solve_lsh_params(0.5, 1)
+
+    def test_hot_bucket_block_join_identical_candidates(self, spark):
+        """The blockwise hot-bucket join must yield EXACTLY the plain join's
+        candidate set (skew is a load-balance device, not a recall trade).
+        40 identical docs flood every band bucket past the cap of 8, so the
+        block path is genuinely exercised."""
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = [(f"f{i:03d}", "the same flooded boilerplate text repeated here")
+                for i in range(40)]
+        rows += [(f"u{i:03d}", f"unique document number {i} with words {i*7} {i*13} {i*29}")
+                 for i in range(30)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        kw = dict(n=3, num_perm=32, bands=8, threshold=0.5)
+        plain = minhash_lsh_pairs(df, hot_bucket_docs=None, **kw).select("doc_a", "doc_b").toPandas()
+        blocked = minhash_lsh_pairs(df, hot_bucket_docs=8, **kw).select("doc_a", "doc_b").toPandas()
+        sp = set(map(tuple, plain.values.tolist()))
+        sb = set(map(tuple, blocked.values.tolist()))
+        assert sp == sb and len(sp) == 40 * 39 // 2
+
     def test_simhash_identical_docs_distance_zero(self, spark):
         import pandas as pd
 
@@ -477,7 +519,7 @@ class TestAsofJoin:
         from epichypersketch_jl_spark.operators.asof import asof_join
 
         left, right = self._frames(spark)
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             asof_join(left, right, on="k", left_ts="t", right_ts="nope",
                       right_cols=["v"], tiebreak="rid")
 
@@ -516,7 +558,7 @@ class TestBM25:
         from epichypersketch_jl_spark.operators.text_analysis import bm25_scores
 
         docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             bm25_scores(docs, [])
 
 
@@ -591,7 +633,7 @@ class TestReviewFixesR3:
         left = spark.createDataFrame([(1, 100, "a")], "k long, t long, name string")
         right = spark.createDataFrame([(1, 50, 9, 1.0)],
                                       "k long, t long, rid long, v double")
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             asof_join(left, right, on="k", left_ts="t", right_ts="t",
                       right_cols=["valeu"], tiebreak="rid")
 
@@ -604,9 +646,9 @@ class TestReviewFixesR3:
             iter_comb_chunks,
         )
 
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             comb_unrank_lex(100_000, 4, [0])
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             next(iter(iter_comb_chunks(100_000, 4, 1_000_000)))
 
 
@@ -654,7 +696,7 @@ class TestGroupedKLL:
         )
         (r1, r2) = kll_quantiles_grouped(df, "v", "g", [0.0, 1.0]).orderBy("q").collect()
         assert (r1.est, r2.est) == (1.0, 3.0)  # nulls excluded, extremes exact
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             kll_quantiles_grouped(df, "v", "g", [])
 
 
@@ -822,9 +864,9 @@ class TestWeightedSample:
         )
         got = weighted_sample(df, id_col="id", weight_col="w", k=10, group_col="g")
         assert sorted(r.id for r in got.collect()) == [1, 4]  # null/neg excluded
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             weighted_sample(df, id_col="id", weight_col="w", k=0)
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             weighted_sample(df, id_col="g", weight_col="w", k=1)
 
 
@@ -966,7 +1008,7 @@ class TestMotifPMI:
             [("a", [1, 2, 3], 3, "s")],
             "doc_id string, tokens array<int>, n_tok int, source string",
         )
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             motif_pmi(df, HyperSketchConfig(motif_size=3, min_count=1))
 
 
@@ -1009,7 +1051,7 @@ class TestBigramLogprob:
         from epichypersketch_jl_spark.operators.lm import bigram_logprob
 
         df = spark.createDataFrame([("a", [1, 2])], "doc_id string, tokens array<int>")
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             bigram_logprob(df)
 
 
@@ -1064,9 +1106,9 @@ class TestTrigramLogprob:
             [("a", [1, 2, 3], [1, 2, 3], "s")],
             "doc_id string, tokens array<int>, positions array<int>, source string",
         )
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             trigram_logprob(df, lambdas=(0.9, 0.1, 0.0))  # l1 must be > 0
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             trigram_logprob(df, lambdas=(0.5, 0.2, 0.1))  # must sum to 1
 
 
@@ -1101,9 +1143,9 @@ class TestKneserNey:
             [("a", [1, 2], [1, 2], "s")],
             "doc_id string, tokens array<int>, positions array<int>, source string",
         )
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             kn_bigram_logprob(df, discount=1.0)
-        with _pytest.raises(InputError):
+        with pytest.raises(InputError):
             kn_bigram_logprob(df, discount=0.0)
 
 
