@@ -69,16 +69,27 @@ def value_histogram(
         if n_buckets < 1:
             raise InputError("value_histogram: n_buckets must be >= 1")
         src = df.where(v.isNotNull())
-        raw = F.floor((v - F.lit(int(lo))) / F.lit(int(width)))
+        # TRUE integer floor division: Spark's `/` on longs is double
+        # division, which rounds across bucket boundaries once |v - lo|
+        # exceeds 2^53; `div` truncates toward zero, so correct it by one
+        # for negative numerators with a nonzero remainder (ADVICE r4)
+        x = (v - F.lit(int(lo))).alias("__x")
+        raw = F.expr(
+            f"(__x div {int(width)}) - "
+            f"(CASE WHEN __x % {int(width)} != 0 AND __x < 0 THEN 1 ELSE 0 END)"
+        )
         bucket = F.greatest(
             F.lit(0).cast("long"),
             F.least(F.lit(int(n_buckets - 1)).cast("long"), raw.cast("long")),
         )
         b_lo = F.lit(int(lo)) + F.col("bucket") * F.lit(int(width))
         b_hi = F.col("bucket_lo") + F.lit(int(width))
-    keys = ([group_col] if group_col else []) + ["bucket"]
+    sel = [group_col] if group_col else []
+    if mode == "linear":
+        src = src.select(*sel, x)  # pin __x so the div expression sees it
+    keys = sel + ["bucket"]
     agg = (
-        src.select(*([group_col] if group_col else []), bucket.alias("bucket"))
+        src.select(*sel, bucket.alias("bucket"))
         .groupBy(*keys)
         .agg(F.count("*").alias("n_values"))
     )

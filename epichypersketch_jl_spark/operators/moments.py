@@ -38,6 +38,11 @@ from ..sketches.kmv import hash_sql
 #: independent-sample salting used in operators/sampling tests).
 SALT_STRIDE = 1_000_003
 
+#: |S_r| bound under which S_r^2 (or a conservative S_A*S_B) fits int64:
+#: floor(sqrt(2^63 - 1)).  Beyond it, squaring wraps silently under
+#: non-ANSI Spark, so the estimate is emitted as NULL instead (ADVICE r4).
+SQUARE_SAFE_ABS = 3_037_000_499
+
 
 def sign_sql(value_expr: str, row: int) -> str:
     """SQL text for the r-th +/-1 sign hash of an integer expression —
@@ -63,9 +68,10 @@ def ams_f2(
     estimator's variance: E[S_r^2] = F2 exactly, median-of-d tames the
     tail.  NULL values (and NULL array elements) are ignored.
 
-    S_r fits int64 while row count stays below ~3e9 per group; beyond
-    that the squared term needs the double domain — at that scale call
-    with smaller groups or treat f2_est as the ratio diagnostic it is.
+    S_r^2 fits int64 while |S_r| <= SQUARE_SAFE_ABS (~3e9, so ~3e9 rows
+    per group worst-case); beyond that the estimate is emitted as NULL
+    rather than a silently wrapped long — at that scale call with
+    smaller groups or treat f2_est as the ratio diagnostic it is.
     """
     if d < 1:
         raise InputError(f"ams_f2 needs d >= 1, got {d}")
@@ -94,7 +100,14 @@ def ams_f2(
     # lower median keeps the estimate integer (SQL-exact); for d=1 this
     # is the single estimate itself
     est = F.element_at(sq, (d + 1) // 2)
-    return agg.withColumn("f2_est", est.cast("long"))
+    # never let a wrapped square masquerade as an estimate: if ANY sign
+    # sum exceeds the int64-square-safe bound, the row's estimate is NULL
+    unsafe = F.greatest(
+        *[F.abs(F.col(f"s_{r}")) for r in range(d)], F.lit(0).cast("long")
+    ) > F.lit(SQUARE_SAFE_ABS)
+    return agg.withColumn(
+        "f2_est", F.when(unsafe, F.lit(None)).otherwise(est).cast("long")
+    )
 
 
 def ams_join_size(
@@ -146,4 +159,12 @@ def ams_join_size(
         F.array(*[F.col(f"sa_{r}") * F.col(f"sb_{r}") for r in range(d)])
     )
     est = F.element_at(prods, (d + 1) // 2)
-    return joined.withColumn("join_size_est", est.cast("long"))
+    # conservative int64-overflow guard (see ams_f2): NULL estimate when
+    # any sign sum on either side exceeds the square-safe bound
+    unsafe = F.greatest(
+        *[F.abs(F.col(f"sa_{r}")) for r in range(d)],
+        *[F.abs(F.col(f"sb_{r}")) for r in range(d)],
+    ) > F.lit(SQUARE_SAFE_ABS)
+    return joined.withColumn(
+        "join_size_est", F.when(unsafe, F.lit(None)).otherwise(est).cast("long")
+    )

@@ -67,6 +67,11 @@ class CountSketch(MergeableSketch):
             raise ValueError("width must be >= 2")
         if depth < 1 or depth % 2 == 0:
             raise ValueError("depth must be a positive ODD integer (integer median)")
+        if depth > SIGN_ROW_OFFSET:
+            # row SIGN_ROW_OFFSET's bucket salt would equal row 0's sign
+            # salt, correlating the two hash families and silently degrading
+            # the unbiasedness guarantee (ADVICE r4)
+            raise ValueError(f"depth must be <= {SIGN_ROW_OFFSET} to keep bucket and sign salt rows disjoint")
         self.width = int(width)
         self.depth = int(depth)
         self.table = (

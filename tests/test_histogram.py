@@ -64,3 +64,20 @@ class TestHistogram:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Join" not in plan, plan
+
+    def test_linear_integer_exact_beyond_double_precision(self, spark):
+        """ADVICE r4: values with |v - lo| >= 2^53 must bucket by TRUE
+        integer floor division (double division rounds across boundaries).
+        v = 2^60 + 1 with width 2^60: exact floor((2^60+1)/2^60) = 1, but
+        (2^60+1)/2^60 in doubles is exactly 1.0 only by rounding — pick a
+        case where the double quotient rounds UP across the boundary:
+        v = 2^60 - 1, width 2^60 -> floor = 0, double (2^60-1)/2^60
+        rounds to 1.0 and floor() of it would give bucket 1."""
+        w = 1 << 60
+        df = spark.createDataFrame([(w - 1,), (w + 1,), (-(w - 1),)], "v long")
+        rows = value_histogram(
+            df, "v", mode="linear", lo=0, width=w, n_buckets=4
+        ).collect()
+        got = {r.bucket: r.n_values for r in rows}
+        # w-1 -> bucket 0; w+1 -> bucket 1; -(w-1) -> floor = -1, clamps to 0
+        assert got == {0: 2, 1: 1}

@@ -107,3 +107,31 @@ class TestAmsF2:
         plan = ams_f2(df, "v", d=4)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1, plan
         assert "Join" not in plan, plan
+
+
+class TestOverflowGuard:
+    def test_f2_null_when_sums_exceed_safe_bound(self, spark, monkeypatch):
+        """ADVICE r4: past |S_r| ~ 3e9 the square wraps silently; the
+        estimate must come back NULL, never garbage.  The bound is
+        monkeypatched tiny so a 50-row frame can cross it."""
+        import epichypersketch_jl_spark.operators.moments as M
+
+        df = spark.createDataFrame([(7,)] * 50, "v long")  # all same value:
+        # every S_r = +-50, squares fine normally
+        (ok,) = M.ams_f2(df, "v", d=3).collect()
+        assert ok.f2_est == 2500
+        monkeypatch.setattr(M, "SQUARE_SAFE_ABS", 10)
+        (row,) = M.ams_f2(df, "v", d=3).collect()
+        assert row.f2_est is None
+        assert row.s_0 is not None  # sketch state still emitted for merges
+
+    def test_join_size_null_when_unsafe(self, spark, monkeypatch):
+        import epichypersketch_jl_spark.operators.moments as M
+
+        da = spark.createDataFrame([(3,)] * 40, "k long")
+        db = spark.createDataFrame([(3,)] * 30, "k long")
+        (ok,) = M.ams_join_size(da, "k", db, "k", d=3).collect()
+        assert ok.join_size_est == 1200
+        monkeypatch.setattr(M, "SQUARE_SAFE_ABS", 5)
+        (row,) = M.ams_join_size(da, "k", db, "k", d=3).collect()
+        assert row.join_size_est is None

@@ -392,6 +392,19 @@ class TestCountSketch:
         vals = rng.zipf(1.5, n)
         return vals[vals < 5000].astype(np.int64)
 
+    def test_depth_bounded_by_sign_row_offset(self):
+        """ADVICE r4: at depth > SIGN_ROW_OFFSET the bucket salt of row 64
+        equals row 0's sign salt, correlating the hash families — the
+        constructor must refuse."""
+        import pytest as _pt
+
+        from epichypersketch_jl_spark.sketches import CountSketch
+        from epichypersketch_jl_spark.sketches.countsketch import SIGN_ROW_OFFSET
+
+        CountSketch(width=64, depth=63)  # odd, within bound: fine
+        with _pt.raises(ValueError, match="disjoint"):
+            CountSketch(width=64, depth=SIGN_ROW_OFFSET + 1)
+
     def test_estimates_track_exact(self):
         from epichypersketch_jl_spark.sketches import CountSketch
 
