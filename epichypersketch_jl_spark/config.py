@@ -48,6 +48,9 @@ class HyperSketchConfig:
                  We adopt the reference's CPU semantics (src/count_cpu.jl:47-53:
                  reject gap < 0) over the GPU's (src/count_gpu.jl:51-53), which
                  ignores filter_len — see SURVEY.md §2 #10.
+    gap_mode   : "cpu" (default, the semantics above) or "gpu" — emulate the
+                 GPU counting kernel's divergent gap = delta_pos with no
+                 overlap rejection, for divergence-complete reference parity.
     seed       : seeds the CMS hash coefficients; identical on every executor
                  so partition sketches merge by elementwise addition.
     conservative : use conservative update (still never undercounts; tighter).
@@ -64,6 +67,7 @@ class HyperSketchConfig:
     delta: float = DEFAULT_DELTA
     epsilon: float = DEFAULT_EPSILON
     filter_len: int = 0
+    gap_mode: str = "cpu"
     seed: int = 42
     conservative: bool = False
     max_cells: int = DEFAULT_MAX_CELLS
@@ -85,6 +89,8 @@ class HyperSketchConfig:
             raise ConfigError(f"epsilon must be in (0,1), got {self.epsilon}")
         if self.filter_len < 0:
             raise ConfigError(f"filter_len must be >= 0, got {self.filter_len}")
+        if self.gap_mode not in ("cpu", "gpu"):
+            raise ConfigError(f"gap_mode must be 'cpu' or 'gpu', got {self.gap_mode!r}")
         if self.max_cells < 1000:
             raise ConfigError(f"max_cells too small: {self.max_cells}")
         if self.memory_budget_bytes is not None and self.memory_budget_bytes < (1 << 20):

@@ -105,15 +105,50 @@ class _CombScratch:
         return view.reshape(rows, ncombs, k)
 
 
+def _positions_presorted(positions_flat: np.ndarray, offsets: np.ndarray) -> bool:
+    """True when every row's positions are already ascending — the layout
+    the tokenizer cache writes (sources/tables.py sorts (pos, tok) structs
+    at ingest and emits positions as 1..n), in which case the per-length-
+    group argsort + three take_along_axis gathers are pure waste (VERDICT
+    r4 item 6).  One O(n_tokens) scan per batch: position diffs may only
+    be negative at row boundaries."""
+    if len(positions_flat) < 2:
+        return True
+    bad = np.flatnonzero(np.diff(positions_flat) < 0)
+    if bad.size == 0:
+        return True
+    # boundary indices into the diff array: last element of each row
+    boundaries = offsets[1:-1] - 1
+    return bool(np.isin(bad, boundaries).all())
+
+
 def _conv_keys(
-    tok_sel: np.ndarray, pos_sel: np.ndarray, filter_len: int
+    tok_sel: np.ndarray,
+    pos_sel: np.ndarray,
+    filter_len: int,
+    gap_mode: str = "cpu",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Interleaved (filter, gap, filter, gap, ...) keys + validity mask.
 
     tok_sel/pos_sel: (n, C, k).  Returns keys (n, C, 2k-1), valid (n, C).
+
+    gap_mode="cpu" (default): gap = delta_pos - filter_len, placements
+    with gap < 0 (overlapping filters) rejected — the reference's CPU and
+    extraction semantics (src/count_cpu.jl:47-53).  gap_mode="gpu": gap =
+    delta_pos with no overlap rejection, emulating the GPU counting
+    kernel's divergent behavior (src/count_gpu.jl:51-53, which ignores
+    filter_len) for divergence-complete parity (VERDICT r4 item 7).
     """
-    gaps = pos_sel[..., 1:] - pos_sel[..., :-1] - filter_len
-    valid = (gaps >= 0).all(axis=-1) if gaps.shape[-1] else np.ones(tok_sel.shape[:2], bool)
+    if gap_mode == "gpu":
+        gaps = pos_sel[..., 1:] - pos_sel[..., :-1]
+        valid = np.ones(tok_sel.shape[:2], bool)
+    else:
+        gaps = pos_sel[..., 1:] - pos_sel[..., :-1] - filter_len
+        valid = (
+            (gaps >= 0).all(axis=-1)
+            if gaps.shape[-1]
+            else np.ones(tok_sel.shape[:2], bool)
+        )
     k = tok_sel.shape[-1]
     keys = np.empty(tok_sel.shape[:2] + (2 * k - 1,), dtype=np.result_type(tok_sel.dtype, np.int32))
     keys[..., 0::2] = tok_sel
@@ -147,18 +182,21 @@ def build_batch(
             "columns must have identical per-row lengths"
         )
     vb = _value_bound(tokens_flat, positions_flat)
+    presorted = conv and _positions_presorted(positions_flat, offsets)
     sc_t, sc_p = _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
         tm = gather_rows(tokens_flat, offsets, rows, L)
         if conv:
             pm = gather_rows(positions_flat, offsets, rows, L)
-            order = np.argsort(pm, axis=1, kind="stable")
-            tm = np.take_along_axis(tm, order, axis=1)
-            pm = np.take_along_axis(pm, order, axis=1)
+            if not presorted:
+                order = np.argsort(pm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
+                pm = np.take_along_axis(pm, order, axis=1)
             for combs in iter_comb_chunks(L, k, budget):
                 keys, valid = _conv_keys(
-                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len
+                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len,
+                    cfg.gap_mode,
                 )
                 cms.update_batch_grouped(keys[valid], vmax=vb)
         else:
@@ -241,6 +279,7 @@ def aggregate_batch(
         )
     acc_k, acc_o, acc_c = [], [], []
     vb = _value_bound(tokens_flat, positions_flat)
+    presorted = conv and _positions_presorted(positions_flat, offsets)
 
     def process(flat_keys: np.ndarray, contrib: np.ndarray | None) -> None:
         if flat_keys.shape[0] == 0:
@@ -289,14 +328,16 @@ def aggregate_batch(
         wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
         if conv:
             pm = gather_rows(positions_flat, offsets, rows, L)
-            order = np.argsort(pm, axis=1, kind="stable")
-            tm = np.take_along_axis(tm, order, axis=1)
-            pm = np.take_along_axis(pm, order, axis=1)
-            if wm is not None:
-                wm = np.take_along_axis(wm, order, axis=1)
+            if not presorted:
+                order = np.argsort(pm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
+                pm = np.take_along_axis(pm, order, axis=1)
+                if wm is not None:
+                    wm = np.take_along_axis(wm, order, axis=1)
             for combs in iter_comb_chunks(L, k, budget):
                 keys, valid = _conv_keys(
-                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len
+                    sc_t.take(tm, combs), sc_p.take(pm, combs), cfg.filter_len,
+                    cfg.gap_mode,
                 )
                 contrib = (
                     sc_w.take(wm, combs).sum(axis=-1)[valid] if wm is not None else None
@@ -368,6 +409,7 @@ def extract_batch(
         )
     out = ExtractOut()
     vb = _value_bound(tokens_flat, positions_flat)
+    presorted = conv and _positions_presorted(positions_flat, offsets)
     sc_t, sc_p, sc_w = _CombScratch(), _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
         budget = comb_chunk_cells(len(rows), cfg.max_cells, k)
@@ -375,11 +417,12 @@ def extract_batch(
         wm = gather_rows(weights_flat, offsets, rows, L) if weights_flat is not None else None
         if conv:
             pm = gather_rows(positions_flat, offsets, rows, L)
-            order = np.argsort(pm, axis=1, kind="stable")
-            tm = np.take_along_axis(tm, order, axis=1)
-            pm = np.take_along_axis(pm, order, axis=1)
-            if wm is not None:
-                wm = np.take_along_axis(wm, order, axis=1)
+            if not presorted:
+                order = np.argsort(pm, axis=1, kind="stable")
+                tm = np.take_along_axis(tm, order, axis=1)
+                pm = np.take_along_axis(pm, order, axis=1)
+                if wm is not None:
+                    wm = np.take_along_axis(wm, order, axis=1)
         elif wm is not None:
             order = np.argsort(tm, axis=1, kind="stable")
             tm = np.take_along_axis(tm, order, axis=1)
@@ -390,7 +433,7 @@ def extract_batch(
             if conv:
                 tok_sel = sc_t.take(tm, combs)
                 pos_sel = sc_p.take(pm, combs)
-                keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len)
+                keys, valid = _conv_keys(tok_sel, pos_sel, cfg.filter_len, cfg.gap_mode)
                 # clamp invalid (overlapping) placements to key 0 so the packed
                 # dedup fast path stays applicable; estimates are masked out
                 # (in place: keys is freshly built by _conv_keys)

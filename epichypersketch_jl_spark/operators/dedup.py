@@ -110,16 +110,15 @@ def ngram_jaccard_pairs(
     more than max_shingle_df times (ALL their shingles are hot), so capped
     call sites should route exact duplicates through exact_dedup first.
     The default is None (exhaustive, truly exact); web-scale call sites
-    pass DEFAULT_MAX_SHINGLE_DF explicitly.
+    pass DEFAULT_MAX_SHINGLE_DF explicitly, and should pair it with
+    fully_capped_docs — the guard that names the docs this blind spot
+    actually hits.
     """
     shing = word_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col), F.array_distinct("shingles").alias("sh")
     )
     sh = shing.select(F.col(id_col), F.explode("sh").alias("s"))
-    idx = sh
-    if max_shingle_df is not None:
-        hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
-        idx = sh.join(F.broadcast(hot), "s", "left_anti")
+    idx = _cold_shingle_index(sh, max_shingle_df)
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (
@@ -143,6 +142,50 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard_pct")
     )
     return out
+
+
+def _cold_shingle_index(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """The inverted index with hot shingles (document frequency above the
+    cap) removed; the hot set is one aggregate, broadcast back."""
+    if max_shingle_df is None:
+        return sh
+    hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+def fully_capped_docs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exactness guard for capped ngram_jaccard_pairs (VERDICT r4 item 8):
+    the docs whose EVERY distinct shingle exceeds the document-frequency
+    cap.  These are the documented zero-pair blind spot — a doc
+    mass-duplicated more than max_shingle_df times has all its shingles
+    hot, drops out of the capped inverted index entirely, and emits zero
+    pairs even at jaccard = 1.0.  Scale call sites should route these
+    (typically exact duplicates) through exact_dedup, or at minimum count
+    this frame and alert.
+
+    Returns (id_col, n_shingles: long) — one row per fully-capped doc
+    that has at least one shingle.  Plan: the same shingle index
+    aggregates as the capped pair join (doc frequency + broadcast-anti),
+    then an anti-join of shingled docs against docs surviving in the cold
+    index — no pair enumeration anywhere.
+    """
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s"))
+    )
+    cold_docs = _cold_shingle_index(sh, max_shingle_df).select(id_col).distinct()
+    return (
+        sh.groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
+        .join(cold_docs, id_col, "left_anti")
+    )
 
 
 # ------------------------------------------------------------------- MinHash

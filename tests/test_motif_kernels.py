@@ -291,3 +291,67 @@ class TestCombChunking:
             )
             res.append((cms.n_updates, rows))
         assert res[0] == res[1]
+
+
+class TestPresortedPositions:
+    """VERDICT r4 item 6: the kernels skip the per-length-group argsort when
+    every row's positions are already ascending (the tokenizer-cache
+    layout); scrambled inputs must still take the sort path and produce the
+    identical sketch/aggregation."""
+
+    def test_detector(self):
+        import numpy as np
+
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            _positions_presorted,
+        )
+
+        offs = np.array([0, 3, 5])
+        assert _positions_presorted(np.array([1, 2, 3, 1, 2]), offs)
+        assert _positions_presorted(np.array([5, 7, 9, 1, 2]), offs)  # cross-row drop ok
+        assert not _positions_presorted(np.array([1, 3, 2, 1, 2]), offs)
+        assert _positions_presorted(np.array([4]), np.array([0, 1]))
+        assert _positions_presorted(np.array([], dtype=np.int64), np.array([0, 0]))
+
+    def test_sorted_and_scrambled_agree(self):
+        import numpy as np
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            aggregate_batch,
+            build_batch,
+            make_cms,
+        )
+
+        rng = np.random.default_rng(7)
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, filter_len=1, seed=3)
+        rows = []
+        for _ in range(40):
+            L = rng.integers(4, 9)
+            toks = rng.integers(1, 6, size=L).astype(np.int32)
+            pos = np.sort(rng.choice(np.arange(1, 30), size=L, replace=False)).astype(np.int32)
+            rows.append((toks, pos))
+
+        def flat(perm_rows):
+            t = np.concatenate([r[0] for r in perm_rows])
+            p = np.concatenate([r[1] for r in perm_rows])
+            off = np.concatenate(([0], np.cumsum([len(r[0]) for r in perm_rows])))
+            return t, p, off
+
+        scrambled = []
+        for toks, pos in rows:
+            perm = rng.permutation(len(toks))
+            scrambled.append((toks[perm], pos[perm]))
+
+        outs = []
+        for data in (rows, scrambled):
+            t, p, off = flat(data)
+            cms = make_cms(cfg, conv=True)
+            build_batch(cms, t, off, cfg, positions_flat=p)
+            keys, occ, csum, est = aggregate_batch(cms, t, off, cfg, positions_flat=p)
+            order = np.lexsort(keys.T[::-1])
+            outs.append((cms.to_bytes(), keys[order], occ[order], est[order]))
+        assert outs[0][0] == outs[1][0]  # identical merged sketch bytes
+        assert (outs[0][1] == outs[1][1]).all()
+        assert (outs[0][2] == outs[1][2]).all()
+        assert (outs[0][3] == outs[1][3]).all()

@@ -57,6 +57,30 @@ class TestDedup:
             recall = len(lsh_set) / len(exact_set)
             assert recall >= 0.5, f"LSH recall suspiciously low: {recall}"
 
+    def test_fully_capped_docs_guard(self, spark):
+        """A doc duplicated past the DF cap has every shingle hot: the
+        capped pair join goes blind to it, and the guard must name it."""
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.dedup import (
+            fully_capped_docs,
+            ngram_jaccard_pairs,
+        )
+
+        flood = [(f"f{i}", "endlessly repeated boilerplate sentence here")
+                 for i in range(10)]
+        uniq = [(f"u{i}", f"normal doc {i} alpha {i*3} beta {i*7} gamma {i*11}")
+                for i in range(6)]
+        df = spark.createDataFrame(pd.DataFrame(flood + uniq, columns=["doc_id", "text"]))
+        # cap of 5: the 10-doc flood's shingles all have DF 10 > 5
+        pairs = ngram_jaccard_pairs(df, threshold=0.9, max_shingle_df=5).toPandas()
+        assert not pairs.doc_a.str.startswith("f").any()  # blind spot is real
+        guard = fully_capped_docs(df, max_shingle_df=5).toPandas()
+        assert sorted(guard.doc_id) == sorted(d for d, _ in flood)
+        assert (guard.n_shingles > 0).all()
+        # uncapped docs never appear
+        assert fully_capped_docs(df, max_shingle_df=50).count() == 0
+
     def test_lsh_solver_pinned_and_sane(self):
         """(b, r) from the S-curve optimization: pinned at the default smoke
         operating point, b*r fits the budget, and the curve midpoint

@@ -196,3 +196,56 @@ class TestWeightedConvAggregate:
         assert (m["_merge"] == "both").all()
         assert (m["n_occurrences"] == m["n"]).all()
         assert np.allclose(m["total_contribution"], m["tc"])
+
+
+class TestGapModeParity:
+    """gap_mode='gpu' emulates the GPU counting kernel (count_gpu.jl:51-53):
+    gap = delta_pos, filter_len ignored, no overlap rejection — next to the
+    default CPU semantics (count_cpu.jl:47-53).  Planted fixture where the
+    two modes provably diverge: filter_len=2 with an adjacent (delta_pos=1)
+    pair that CPU rejects and GPU keeps."""
+
+    def _run(self, spark, gap_mode, filter_len):
+        import pandas as pd
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.operators.motif import motif_counts
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(6)],
+                "tokens": [[1, 2, 3]] * 6,
+                "positions": [[1, 2, 6]] * 6,  # (1,2) adjacent: overlap at
+                "n_tok": [3] * 6,              # filter_len=2
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        cfg = HyperSketchConfig(
+            motif_size=2, min_count=1, filter_len=filter_len,
+            gap_mode=gap_mode, seed=11,
+        )
+        out = motif_counts(df, cfg).toPandas()
+        return {(r.m1, r.m2, r.d12): r.n_occurrences for r in out.itertuples()}
+
+    def test_gpu_keeps_overlaps_cpu_rejects(self, spark):
+        cpu = self._run(spark, "cpu", 2)
+        gpu = self._run(spark, "gpu", 2)
+        # CPU: (1,2) delta 1 -> gap -1 rejected; (1,3) delta 5 -> gap 3;
+        # (2,3) delta 4 -> gap 2
+        assert cpu == {(1, 3, 3): 6, (2, 3, 2): 6}
+        # GPU: raw deltas, nothing rejected
+        assert gpu == {(1, 2, 1): 6, (1, 3, 5): 6, (2, 3, 4): 6}
+
+    def test_modes_agree_when_filter_len_zero(self, spark):
+        # with filter_len=0 the CPU gap equals the raw delta and nothing
+        # overlaps: both modes must produce identical results
+        assert self._run(spark, "cpu", 0) == self._run(spark, "gpu", 0)
+
+    def test_bad_mode_rejected(self):
+        import pytest as _pt
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.errors import ConfigError
+
+        with _pt.raises(ConfigError):
+            HyperSketchConfig(motif_size=2, gap_mode="tpu")
