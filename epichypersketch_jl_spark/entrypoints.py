@@ -1804,6 +1804,77 @@ def q_kmv_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FULLY_CAPPED_DF = 1  # at sf0.01, 24 docs have every shingle above this DF
+
+BLOOM_FP_BITS = 4096
+BLOOM_FP_HASHES = 3
+
+
+def _bloom_pos(value_expr: str, row: int) -> str:
+    """SQL for KmvBloom's r-th bit position at the audit's parameters."""
+    from .sketches.bloom import kmv_bloom_pos_sql
+
+    return kmv_bloom_pos_sql(value_expr, row, BLOOM_FP_BITS)
+
+
+def q_dedup_fully_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactness guard for capped n-gram dedup
+    (operators/dedup.fully_capped_docs): docs whose EVERY distinct shingle
+    exceeds the document-frequency cap — the zero-pair blind spot of the
+    capped inverted index, named doc by doc.  Exact recount in SQL: the
+    same shingle/DF CTEs as dedup_ngram_jaccard, then an anti-join of
+    shingled docs against docs with at least one under-cap shingle."""
+    from .operators.dedup import fully_capped_docs
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return fully_capped_docs(docs, n=3, max_shingle_df=FULLY_CAPPED_DF).orderBy(
+        "doc_id"
+    )
+
+
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-exact audit of a probabilistic filter: build a KmvBloom over
+    custkeys with c_custkey % 7 != 0, probe the DISJOINT % 7 == 0 set, and
+    emit every probe's membership answer — every `true` is a false
+    positive.  The bit positions are the SQL-portable kmv-permutation
+    hashes (sketches/bloom.kmv_bloom_pos_sql), so DuckDB rebuilds the
+    exact bit array and reproduces every individual false positive: the
+    same exactness discipline as count_sketch_tokens, applied to
+    membership.  n_bits=4096 over ~1.3k inserts puts the fill ratio near
+    0.6, so the FP behavior is genuinely exercised, not vacuous."""
+    from .operators.cardinality import bloom_fp_audit
+
+    cust = read_table(spark, sf_dir, "customer")
+    build = cust.filter("c_custkey % 7 != 0")
+    probe = cust.filter("c_custkey % 7 = 0")
+    return bloom_fp_audit(
+        build,
+        "c_custkey",
+        probe,
+        "c_custkey",
+        n_bits=BLOOM_FP_BITS,
+        n_hashes=BLOOM_FP_HASHES,
+    ).orderBy("c_custkey")
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Gram matrix of the embeddings table
+    (operators/similarity.gram_matrix) — the d x d second-moment statistic
+    behind PCA whitening and covariance diagnostics.  Per-row products are
+    floored to 2^-20 fixed point BEFORE summing, so the totals are
+    order-free integer sums, bit-identical under any partitioning and
+    recomputed verbatim by the SQL oracle (float32 -> float64 widening and
+    the double multiply are exact IEEE in both engines)."""
+    from .operators.similarity import gram_matrix
+
+    embs = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return gram_matrix(embs, "embedding", fp_bits=20)
+
+
 QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
@@ -1830,6 +1901,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_fully_capped": q_dedup_fully_capped,
+    "bloom_fp_audit": q_bloom_fp_audit,
+    "embedding_gram": q_embedding_gram,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "doc_chunks": q_doc_chunks,
     "stable_split": q_stable_split,
@@ -2169,6 +2243,55 @@ ORDER BY user_id, session_start_ms
 WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
 g AS (SELECT hh, min(doc_id) AS keep_doc_id, count(*) AS group_size FROM h GROUP BY hh)
 SELECT h.doc_id, g.keep_doc_id, g.group_size FROM h JOIN g USING (hh)
+""",
+    "dedup_fully_capped": f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+    FROM ws WHERE len(w) >= 3)
+),
+df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+cold_docs AS (
+  SELECT DISTINCT doc_id FROM sh JOIN df USING (s) WHERE c <= {FULLY_CAPPED_DF}
+)
+SELECT doc_id, count(*) AS n_shingles
+FROM sh
+WHERE doc_id NOT IN (SELECT doc_id FROM cold_docs)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    "bloom_fp_audit": f"""
+WITH ins AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey % 7 != 0),
+probe AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey % 7 = 0),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos('v', r)} AS pos FROM ins" for r in range(BLOOM_FP_HASHES))}
+  )
+),
+probe_bits AS (
+  {" UNION ALL ".join(f"SELECT v, {_bloom_pos('v', r)} AS pos FROM probe" for r in range(BLOOM_FP_HASHES))}
+)
+SELECT v AS c_custkey,
+       bool_and(pos IN (SELECT pos FROM bits)) AS in_bloom
+FROM probe_bits
+GROUP BY v
+ORDER BY c_custkey
+""",
+    "embedding_gram": """
+WITH pr AS (
+  SELECT i, j,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                    * 1048576.0) AS BIGINT) AS val
+  FROM embeddings, range(1, 65) a(i), range(1, 65) b(j)
+  WHERE i <= j
+)
+SELECT CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
+       CAST(SUM(val) AS BIGINT) AS gram_fp
+FROM pr GROUP BY i, j ORDER BY d1, d2
 """,
     "dedup_ngram_jaccard": f"""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from ..functions.hashing import hash64
@@ -513,6 +514,78 @@ def build_bloom(
         update,
         is_list,
     )
+
+
+def build_kmv_bloom(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+):
+    """Distributed KmvBloom build over an integer column; merge = OR.
+
+    The bit positions come from the SQL-portable quadratic-permutation
+    hash (sketches/bloom.KmvBloom), so every bit — and therefore every
+    membership answer including the false positives — is recomputable by
+    a DuckDB oracle in pure integer SQL."""
+    from ..sketches.bloom import KmvBloom
+
+    is_list = df.schema[value_col].dataType.typeName() == "array"
+
+    def update(sk, vals: np.ndarray) -> None:
+        sk.update_batch(vals)
+
+    return _reduce_sketch(
+        df,
+        value_col,
+        lambda: KmvBloom(n_bits=n_bits, n_hashes=n_hashes),
+        update,
+        is_list,
+    )
+
+
+def bloom_fp_audit(
+    build_df: DataFrame,
+    build_col: str,
+    probe_df: DataFrame,
+    probe_col: str,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Per-probe Bloom membership audit: build a KmvBloom over
+    ``build_df[build_col]`` (distributed, OR-merge) and annotate every
+    DISTINCT probe value with its membership answer.
+
+    When the probe set is disjoint from the build set, every true row in
+    the output is a FALSE POSITIVE — the empirically observed FP behavior
+    of the filter, row by row.  Because the bit positions are the
+    SQL-portable kmv-permutation hashes, an oracle recomputes the exact
+    same bit array and the exact same per-probe answers: a value-hash-
+    exact audit of a probabilistic data structure.
+
+    Plan: one scan+reduce for the build (fixed-size blobs only), then a
+    map-only broadcast annotate of the probes — no join, no shuffle of
+    probe rows beyond the distinct."""
+    bloom = build_kmv_bloom(build_df, build_col, n_bits=n_bits, n_hashes=n_hashes)
+    spark = probe_df.sparkSession
+    blob = spark.sparkContext.broadcast(bloom.to_bytes())
+    probes = probe_df.select(F.col(probe_col)).distinct()
+    out_schema = T.StructType(
+        [probes.schema[probe_col], T.StructField("in_bloom", T.BooleanType(), False)]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = from_bytes(blob.value)
+        for batch in batches:
+            vals = batch.column(probe_col).to_numpy(zero_copy_only=False)
+            mask = sk.contains(vals.astype(np.int64))
+            yield pa.RecordBatch.from_pydict(
+                {probe_col: batch.column(probe_col), "in_bloom": pa.array(mask)}
+            )
+
+    return probes.mapInArrow(fn, out_schema)
 
 
 def _sketch_filter(df: DataFrame, probe_col: str, sketch_bytes: bytes, mask_fn) -> DataFrame:

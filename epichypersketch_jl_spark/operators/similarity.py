@@ -324,3 +324,70 @@ def cosine_neardup_lsh(
         )
     )
     return out
+
+
+def gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    fp_bits: int = 20,
+) -> DataFrame:
+    """Fixed-point Gram matrix of an embedding column: the d x d second-
+    moment statistic G[i,j] = sum_rows e_i * e_j behind PCA whitening,
+    covariance diagnostics, and low-rank compression of a training-data
+    embedding table.
+
+    Returns (d1: int, d2: int, gram_fp: long) for 1-based d1 <= d2, where
+    gram_fp = sum_rows floor(e_{d1} * e_{d2} * 2^fp_bits) — each per-row
+    product is floored to fixed point BEFORE summing, so the total is an
+    order-free integer sum: bit-identical under any partitioning, and
+    recomputable verbatim by a SQL oracle (float32 -> float64 widening and
+    the double multiply are exact IEEE in both engines; floor and integer
+    sum close the loop).  True G is recovered as gram_fp / 2^fp_bits with
+    per-row error < 2^-fp_bits.
+
+    Plan: map-only kernel computes each task's (d*(d+1)/2)-entry partial
+    in numpy (column sweep, no n x d x d tensor), emits d*(d+1)/2 rows
+    per task; one map-side-combined groupBy sums partials.  Shuffle is
+    O(tasks * d^2), never rows.  At extreme row counts shrink fp_bits so
+    n_rows * max|e|^2 * 2^fp_bits stays below 2^63.
+    """
+    scale = float(1 << fp_bits)
+    out_schema = StructType(
+        [
+            StructField("d1", IntegerType(), False),
+            StructField("d2", IntegerType(), False),
+            StructField("gram_fp", LongType(), False),
+        ]
+    )
+    src = emb.select(vec_col)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: np.ndarray | None = None
+        dim = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mat, dim = _vectors_matrix(batch.column(vec_col), dim)
+            if acc is None:
+                acc = np.zeros((dim, dim), dtype=np.int64)
+            for i in range(dim):
+                prod = mat[:, i : i + 1] * mat[:, i:]  # (n, dim-i) doubles
+                acc[i, i:] += np.floor(prod * scale).astype(np.int64).sum(axis=0)
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "d1": pa.array((iu + 1).astype(np.int32)),
+                "d2": pa.array((ju + 1).astype(np.int32)),
+                "gram_fp": pa.array(acc[iu, ju]),
+            }
+        )
+
+    partials = src.mapInArrow(fn, out_schema)
+    return (
+        partials.groupBy("d1", "d2")
+        .agg(F.sum("gram_fp").alias("gram_fp"))
+        .orderBy("d1", "d2")
+    )

@@ -2,7 +2,7 @@ from .base import MergeableSketch, from_bytes
 from .cms import CountMinSketch
 from .countsketch import CountSketch
 from .hll import HyperLogLog
-from .bloom import BloomFilter
+from .bloom import BloomFilter, KmvBloom
 from .kll import KLL
 from .kmv import KMV
 from .tdigest import TDigest
@@ -14,6 +14,7 @@ __all__ = [
     "CountSketch",
     "HyperLogLog",
     "BloomFilter",
+    "KmvBloom",
     "KLL",
     "KMV",
     "TDigest",

@@ -1228,3 +1228,52 @@ class TestTokenKL:
         # exact KL: p=(0.9,0.1) vs q=(0.5,0.5)
         want = 0.9 * math.log(0.9 / 0.5) + 0.1 * math.log(0.1 / 0.5)
         assert abs(o2["a"].kl - want) < 1e-8 and abs(o2["b"].kl - want) < 1e-8
+
+
+class TestKmvBloomAndGram:
+    def test_kmv_bloom_no_false_negatives_and_merge(self):
+        import numpy as np
+
+        from epichypersketch_jl_spark.sketches import KmvBloom
+        from epichypersketch_jl_spark.sketches.base import from_bytes
+
+        a, b = KmvBloom(n_bits=2048, n_hashes=3), KmvBloom(n_bits=2048, n_hashes=3)
+        a.update_batch(np.arange(0, 300))
+        b.update_batch(np.arange(300, 600))
+        m = a.merge(b)
+        assert m.contains(np.arange(600)).all()  # zero false negatives
+        rt = from_bytes(m.to_bytes())
+        assert (rt.words == m.words).all()
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            a.merge(KmvBloom(n_bits=4096, n_hashes=3))
+
+    def test_bloom_fp_audit_disjoint_probes(self, spark):
+        from epichypersketch_jl_spark.operators.cardinality import bloom_fp_audit
+
+        build = spark.range(1000).selectExpr("id AS k")
+        probe = spark.range(1000, 1400).selectExpr("id AS k")
+        out = bloom_fp_audit(build, "k", probe, "k", n_bits=1 << 14, n_hashes=3).toPandas()
+        assert len(out) == 400
+        # generous bound: fill ~0.17 -> fp ~0.5%; assert clearly sub-flood
+        assert out.in_bloom.mean() < 0.2
+        # members always hit
+        hits = bloom_fp_audit(build, "k", build, "k", n_bits=1 << 14, n_hashes=3).toPandas()
+        assert hits.in_bloom.all()
+
+    def test_gram_matrix_partition_invariant_and_exact(self, spark, emb):
+        import numpy as np
+
+        from epichypersketch_jl_spark.operators.similarity import gram_matrix
+
+        a = gram_matrix(emb.repartition(2), "embedding").toPandas()
+        b = gram_matrix(emb.repartition(7), "embedding").toPandas()
+        assert (a.values == b.values).all()  # bit-identical fixed point
+        # numpy recount of a handful of entries
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+        for d1, d2 in [(1, 1), (1, 2), (5, 64), (64, 64)]:
+            exact = int(np.floor(mat[:, d1 - 1] * mat[:, d2 - 1] * (1 << 20)).sum())
+            got = int(a[(a.d1 == d1) & (a.d2 == d2)].gram_fp.iloc[0])
+            assert got == exact, (d1, d2, got, exact)
