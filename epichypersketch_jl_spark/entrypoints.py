@@ -1875,6 +1875,47 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(embs, "embedding", fp_bits=20)
 
 
+FD_L = 16
+
+
+def q_embedding_fd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions over the embeddings table (sketches/fd.py,
+    operators/similarity.fd_sketch): the l x d matrix sketch with the
+    deterministic covariance guarantee ||A^T A - B^T B||_2 <= ||A||_F^2/l.
+    The invariant is CHECKED FOR REAL Spark-side: the exact Gram matrix
+    comes from the fixed-point gram_matrix operator (2080 integer-exact
+    entries), the spectral norm of the residual from a 64x64 eigh, and
+    within_bound must come out true through the distributed build + blob
+    merge.  The oracle recomputes the SQL-expressible facts — row count
+    and the fixed-point trace (total second-moment mass) — and pins the
+    invariant columns, the same discipline as cms_cu_collision."""
+    import numpy as np
+
+    from .operators.similarity import fd_sketch, gram_matrix
+
+    embs = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fd = fd_sketch(embs, "embedding", l=FD_L)
+    gram = gram_matrix(embs, "embedding", fp_bits=20).collect()
+    d = max(r.d2 for r in gram)
+    G = np.zeros((d, d))
+    for r in gram:
+        G[r.d1 - 1, r.d2 - 1] = G[r.d2 - 1, r.d1 - 1] = r.gram_fp / (1 << 20)
+    B = fd.B
+    resid = G - B.T @ B
+    err = float(np.abs(np.linalg.eigvalsh(resid)).max())
+    # fixed-point G is within n_rows*2^-20 per entry of exact; fold that
+    # slack into the check rather than pretending G is exact
+    slack = fd.n_rows * d / (1 << 20)
+    trace_fp = int(sum(r.gram_fp for r in gram if r.d1 == r.d2))
+    within = bool(err <= fd.fro2 / FD_L + slack)
+    return spark.createDataFrame(
+        [(FD_L, fd.n_rows, trace_fp, within)],
+        schema="l: int, n_rows: long, trace_fp: long, within_bound: boolean",
+    )
+
+
 QUERIES = {
     "motifs_k2": q_motifs_k2,
     "motifs_k2_summary": q_motifs_k2_summary,
@@ -1904,6 +1945,7 @@ QUERIES = {
     "dedup_fully_capped": q_dedup_fully_capped,
     "bloom_fp_audit": q_bloom_fp_audit,
     "embedding_gram": q_embedding_gram,
+    "embedding_fd_bound": q_embedding_fd_bound,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "doc_chunks": q_doc_chunks,
     "stable_split": q_stable_split,
@@ -2292,6 +2334,20 @@ WITH pr AS (
 SELECT CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
        CAST(SUM(val) AS BIGINT) AS gram_fp
 FROM pr GROUP BY i, j ORDER BY d1, d2
+""",
+    "embedding_fd_bound": f"""
+WITH pr AS (
+  SELECT i,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * 1048576.0) AS BIGINT) AS val
+  FROM embeddings, range(1, 65) a(i)
+)
+SELECT CAST({FD_L} AS INT) AS l,
+       (SELECT count(*) FROM embeddings) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS trace_fp,
+       true AS within_bound
+FROM pr
 """,
     "dedup_ngram_jaccard": f"""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

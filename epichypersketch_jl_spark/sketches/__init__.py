@@ -1,5 +1,6 @@
 from .base import MergeableSketch, from_bytes
 from .cms import CountMinSketch
+from .fd import FrequentDirections
 from .countsketch import CountSketch
 from .hll import HyperLogLog
 from .bloom import BloomFilter, KmvBloom
@@ -11,6 +12,7 @@ __all__ = [
     "MergeableSketch",
     "from_bytes",
     "CountMinSketch",
+    "FrequentDirections",
     "CountSketch",
     "HyperLogLog",
     "BloomFilter",

@@ -482,3 +482,65 @@ class TestCountSketch:
         sc.update_batch(a_vals)
         sc.update_batch(b_vals, -np.ones(len(b_vals), dtype=np.int64))
         assert np.array_equal(sc.table, diff.table)
+
+
+class TestFrequentDirections:
+    """Matrix sketch (sketches/fd.py): covariance bound, merge algebra,
+    exact Frobenius accounting, serialization."""
+
+    def _matrix(self, seed=0, n=1500, d=32):
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n, d)) @ np.diag(np.linspace(2.5, 0.05, d))
+
+    def test_covariance_bound_single(self):
+        from epichypersketch_jl_spark.sketches import FrequentDirections
+
+        A = self._matrix()
+        fd = FrequentDirections(l=12)
+        for i in range(0, len(A), 200):  # streamed in odd chunks
+            fd.update_batch(A[i : i + 200])
+        B = fd.B
+        assert B.shape[0] <= 12 and B.shape[1] == A.shape[1]
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        assert err <= fd.cov_error_bound() + 1e-9
+        # B^T B never OVERcounts any direction (PSD residual)
+        eig = np.linalg.eigvalsh(A.T @ A - B.T @ B)
+        assert eig.min() >= -1e-6
+        assert np.isclose(fd.fro2, (A * A).sum())
+        assert fd.n_rows == len(A)
+
+    def test_merge_preserves_bound_and_mass(self):
+        from epichypersketch_jl_spark.sketches import FrequentDirections
+        from epichypersketch_jl_spark.sketches.base import from_bytes
+
+        A = self._matrix(seed=3, n=2400)
+        parts = np.array_split(A, 5)
+        sks = []
+        for p in parts:
+            fd = FrequentDirections(l=12)
+            fd.update_batch(p)
+            sks.append(from_bytes(fd.to_bytes()))  # round-trip each blob
+        m = sks[0]
+        for s in sks[1:]:
+            m = m.merge(s)
+        B = m.B
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        assert err <= m.cov_error_bound() + 1e-9
+        assert np.isclose(m.fro2, (A * A).sum())
+        assert m.n_rows == len(A)
+
+    def test_guards(self):
+        import pytest as _pt
+
+        from epichypersketch_jl_spark.errors import MergeError
+        from epichypersketch_jl_spark.sketches import FrequentDirections
+
+        with _pt.raises(ValueError):
+            FrequentDirections(l=1)
+        a, b = FrequentDirections(l=8), FrequentDirections(l=16)
+        with _pt.raises(MergeError):
+            a.merge(b)
+        c = FrequentDirections(l=8)
+        c.update_batch(np.ones((3, 4)))
+        with _pt.raises(ValueError):
+            c.update_batch(np.ones((3, 5)))
