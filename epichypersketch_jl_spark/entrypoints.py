@@ -1875,6 +1875,69 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(embs, "embedding", fp_bits=20)
 
 
+DGIM_WINDOW_H = 240
+
+
+def q_events_stream_dgim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM sliding-window counting (streaming/dgim.py), driven through a
+    real availableNow stateful streaming run: per user, the bounded-state
+    estimate of "events in the trailing 240 h of event time", checked
+    against the exact windowed recount.  The estimate itself is bucket
+    algebra no SQL can recompute, so the gate row per user carries the
+    SQL-recomputable facts — the exact in-window count at the user's final
+    asof — plus the two invariants the sketch guarantees: the published
+    <= 50% relative error and the O(log^2 W) state bound (cms_cu_collision
+    discipline).  asof equals the user's max event time because the
+    per-batch asof is monotone and the final batch's row wins."""
+    from .streaming.dgim import dgim_counts
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        est = dgim_counts(
+            _events_stream(spark, sf_dir),
+            window=f"{DGIM_WINDOW_H} hours",
+            watermark="720 hours",
+        )
+        name = _run_available_now(est, "ehs_dgim")
+        emitted = spark.table(name)
+        w = Window.partitionBy("user_id").orderBy(F.desc("asof"))
+        last = (
+            emitted.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select("user_id", F.unix_millis("asof").alias("asof_ms"), "est", "n_buckets")
+        )
+        ev = read_table(spark, sf_dir, "events").select(
+            "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+        )
+        win_ms = DGIM_WINDOW_H * 3_600_000
+        joined = (
+            last.join(ev, "user_id")
+            .filter((F.col("ts_ms") > F.col("asof_ms") - win_ms) & (F.col("ts_ms") <= F.col("asof_ms")))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("exact_in_window"),
+                F.first("est").alias("est"),
+                F.first("n_buckets").alias("n_buckets"),
+            )
+        )
+        out = joined.select(
+            "user_id",
+            "exact_in_window",
+            (
+                F.abs(F.col("est") - F.col("exact_in_window"))
+                <= F.col("exact_in_window") / 2 + 1
+            ).alias("within_bound"),
+            (F.col("n_buckets") <= 32).alias("state_bounded"),
+        ).orderBy("user_id")
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return spark.createDataFrame(rows, schema=out.schema)
+
+
 FD_L = 16
 
 
@@ -1937,6 +2000,7 @@ QUERIES = {
     "events_sliding_stream": q_events_sliding_stream,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_join": q_events_stream_join,
+    "events_stream_dgim": q_events_stream_dgim,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2334,6 +2398,21 @@ WITH pr AS (
 SELECT CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
        CAST(SUM(val) AS BIGINT) AS gram_fp
 FROM pr GROUP BY i, j ORDER BY d1, d2
+""",
+    "events_stream_dgim": f"""
+WITH mx AS (
+  SELECT user_id, max(epoch_ms(CAST(ts AS TIMESTAMP))) AS asof_ms
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS exact_in_window,
+       true AS within_bound,
+       true AS state_bounded
+FROM events e JOIN mx USING (user_id)
+WHERE epoch_ms(CAST(e.ts AS TIMESTAMP)) > asof_ms - {DGIM_WINDOW_H} * 3600000
+  AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= asof_ms
+GROUP BY e.user_id
+ORDER BY e.user_id
 """,
     "embedding_fd_bound": f"""
 WITH pr AS (

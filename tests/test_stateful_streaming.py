@@ -155,3 +155,50 @@ class TestSessionizeOutOfOrder:
         assert late.session_start == late.session_end
         # current session is untouched
         assert st.get[0] == 250_000 and st.get[2] == 1
+
+
+class TestDgimBucketAlgebra:
+    """Pure-python DGIM invariants (streaming/dgim.py), no Spark: the
+    two-per-size bucket discipline, O(log^2 W) state, and the published
+    <= 50% relative-error bound against a brute-force window count."""
+
+    def test_invariants_and_bound_random_streams(self):
+        import numpy as np
+
+        from epichypersketch_jl_spark.streaming.dgim import (
+            MAX_PER_SIZE,
+            dgim_estimate,
+            dgim_insert,
+        )
+
+        rng = np.random.default_rng(5)
+        for trial in range(20):
+            window = int(rng.integers(50, 2000))
+            ts = np.cumsum(rng.integers(1, 10, size=3000)).tolist()
+            buckets: list[list[int]] = []
+            for i, t in enumerate(ts):
+                dgim_insert(buckets, t)
+                buckets[:] = [b for b in buckets if b[0] > t - window]
+                if i % 37 == 0:
+                    # two-per-size invariant
+                    sizes = [b[1] for b in buckets]
+                    for s in set(sizes):
+                        assert sizes.count(s) <= MAX_PER_SIZE
+                    # sizes are powers of two, buckets oldest-first
+                    assert all(s & (s - 1) == 0 for s in sizes)
+                    assert [b[0] for b in buckets] == sorted(b[0] for b in buckets)
+                    assert len(buckets) <= 2 * (int(np.log2(max(1, i + 1))) + 2)
+                    exact = sum(1 for u in ts[: i + 1] if u > t - window)
+                    est = dgim_estimate(buckets)
+                    assert abs(est - exact) <= exact / 2 + 1, (trial, i, est, exact)
+
+    def test_empty_and_single(self):
+        from epichypersketch_jl_spark.streaming.dgim import (
+            dgim_estimate,
+            dgim_insert,
+        )
+
+        assert dgim_estimate([]) == 0
+        b: list[list[int]] = []
+        dgim_insert(b, 100)
+        assert b == [[100, 1]] and dgim_estimate(b) == 1
