@@ -1875,6 +1875,34 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(embs, "embedding", fp_bits=20)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition score (text_analysis.repetition_score)
+    — the degenerate-text gate, integer fixed point, map-only."""
+    from .operators.text_analysis import repetition_score
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return repetition_score(docs, n=3).orderBy("doc_id")
+
+
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination audit
+    (text_analysis.ngram_contamination): the eval slice is the docs whose
+    md5(doc_id) starts with '0' (~1/16, deterministic and recomputable in
+    both engines); for each eval doc, how many of its distinct 3-grams
+    appear anywhere in the train slice.  Exact SQL recount."""
+    from .operators.text_analysis import ngram_contamination
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return ngram_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), n=3
+    ).orderBy("doc_id")
+
+
 DGIM_WINDOW_H = 240
 
 
@@ -2017,6 +2045,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "eval_contamination": q_eval_contamination,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2398,6 +2428,44 @@ WITH pr AS (
 SELECT CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
        CAST(SUM(val) AS BIGINT) AS gram_fp
 FROM pr GROUP BY i, j ORDER BY d1, d2
+""",
+    "doc_repetition": """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+  FROM ws WHERE len(w) >= 3
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT s) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       CAST(FLOOR(1000.0 * (n_ngrams - n_distinct) / n_ngrams) AS BIGINT) AS rep_x1000
+FROM agg WHERE n_ngrams >= 1 ORDER BY doc_id
+""",
+    "eval_contamination": """
+WITH ws AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, h,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+  FROM ws WHERE len(w) >= 3
+),
+train AS (SELECT DISTINCT s FROM sh WHERE substr(h, 1, 1) != '0'),
+ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE substr(h, 1, 1) = '0'),
+agg AS (
+  SELECT e.doc_id, count(*) AS n_distinct_ngrams,
+         count(t.s) AS n_contaminated
+  FROM ev e LEFT JOIN train t ON e.s = t.s
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_distinct_ngrams, n_contaminated,
+       CAST(FLOOR(1000.0 * n_contaminated / n_distinct_ngrams) AS BIGINT)
+         AS contamination_x1000
+FROM agg ORDER BY doc_id
 """,
     "events_stream_dgim": f"""
 WITH mx AS (

@@ -286,3 +286,89 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(F.col(text_col)).alias("fp_md5"),
         F.md5(F.concat_ws(" ", F.array_sort(words))).alias("fp_sorted_md5"),
     )
+
+
+def repetition_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document n-gram repetition — the standard degenerate-text
+    gate (boilerplate loops, keyboard mash, template spam score high).
+
+    Returns (id_col, n_ngrams: long, n_distinct: long, rep_x1000: long)
+    for every doc with at least one n-gram, where rep_x1000 =
+    floor(1000 * (n_ngrams - n_distinct) / n_ngrams) — 0 for fully
+    distinct text, ~1000 for one phrase repeated forever.  Integer fixed
+    point keeps the score SQL-hash-exact.  Pure per-row Catalyst (the
+    shingle arrays never leave their row): map-only at any scale."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(df.select(id_col, text_col), text_col, n)
+    total = F.size("shingles").cast("long")
+    dist = F.size(F.array_distinct("shingles")).cast("long")
+    return (
+        sh.select(
+            F.col(id_col),
+            total.alias("n_ngrams"),
+            dist.alias("n_distinct"),
+        )
+        .filter(F.col("n_ngrams") >= 1)
+        .withColumn(
+            "rep_x1000",
+            F.floor(
+                F.lit(1000) * (F.col("n_ngrams") - F.col("n_distinct")) / F.col("n_ngrams")
+            ).cast("long"),
+        )
+    )
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check — for each eval doc, how many of its
+    distinct word n-grams appear ANYWHERE in the training corpus.  The
+    canonical benchmark-leakage audit for a training-data pipeline.
+
+    Returns (id_col, n_distinct_ngrams: long, n_contaminated: long,
+    contamination_x1000: long) per eval doc with >= 1 n-gram.
+
+    Plan — one linear chain: the train side reduces to its DISTINCT
+    n-gram set (shuffle bounded by distinct n-grams, never rows), the
+    eval side explodes to (doc, n-gram) rows, one left join marks hits,
+    one map-side-combined aggregate counts.  Each intermediate has
+    exactly one consumer (the lesson of the LSH candidate plan).  At
+    100 TB swap the join key to xxhash64(n-gram) to shuffle 8-byte keys
+    instead of strings — same counts up to a ~2^-64 collision."""
+    from .dedup import word_shingles
+
+    tr = (
+        word_shingles(train_df.select(text_col), text_col, n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = word_shingles(eval_df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    return (
+        ev.join(tr, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_x1000",
+            F.floor(
+                F.lit(1000) * F.col("n_contaminated") / F.col("n_distinct_ngrams")
+            ).cast("long"),
+        )
+    )

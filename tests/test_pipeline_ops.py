@@ -1277,3 +1277,55 @@ class TestKmvBloomAndGram:
             exact = int(np.floor(mat[:, d1 - 1] * mat[:, d2 - 1] * (1 << 20)).sum())
             got = int(a[(a.d1 == d1) & (a.d2 == d2)].gram_fp.iloc[0])
             assert got == exact, (d1, d2, got, exact)
+
+
+class TestRepetitionAndContamination:
+    def test_repetition_score_known_values(self, spark):
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.text_analysis import repetition_score
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "a b c a b c a b c",   # 7 ngrams, 3 distinct
+                        "w x y z",              # 2 ngrams, 2 distinct
+                        "q r",                  # too short: dropped
+                        "m m m m",              # 2 ngrams, 1 distinct
+                    ],
+                }
+            )
+        )
+        out = {r.doc_id: r for r in repetition_score(df).collect()}
+        assert set(out) == {1, 2, 4}
+        assert (out[1].n_ngrams, out[1].n_distinct, out[1].rep_x1000) == (7, 3, 571)
+        assert (out[2].n_ngrams, out[2].n_distinct, out[2].rep_x1000) == (2, 2, 0)
+        assert (out[4].n_ngrams, out[4].n_distinct, out[4].rep_x1000) == (2, 1, 500)
+
+    def test_contamination_planted_overlap(self, spark):
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.text_analysis import (
+            ngram_contamination,
+        )
+
+        train = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["the quick brown fox jumps"]})
+        )
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11],
+                    "text": [
+                        "the quick brown fox sleeps",  # 2 of 3 ngrams in train
+                        "completely novel eval text here",
+                    ],
+                }
+            )
+        )
+        out = {r.doc_id: r for r in ngram_contamination(train, ev).collect()}
+        assert (out[10].n_distinct_ngrams, out[10].n_contaminated) == (3, 2)
+        assert out[10].contamination_x1000 == 666
+        assert (out[11].n_contaminated, out[11].contamination_x1000) == (0, 0)
