@@ -93,6 +93,10 @@ spark.stop()
 
 def run(code: str, *args: str) -> str:
     env = dict(os.environ, PYTHONPATH=REPO)
+    # numpy-temp mmap churn dominates kernel concurrency without this:
+    # see epichypersketch_jl_spark.session.MALLOC_TUNING
+    env.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    env.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     out = subprocess.run(
         [sys.executable, "-c", code, *args], capture_output=True, text=True, env=env
     )

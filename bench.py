@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+
+    apply_malloc_tuning()  # numpy-temp mmap churn: see session.MALLOC_TUNING
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("ehs-bench")
