@@ -32,6 +32,8 @@ N_ROWS = 5_000_000
 
 
 def main() -> None:
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

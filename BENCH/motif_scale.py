@@ -97,6 +97,8 @@ def bench_tier(spark: SparkSession, sf_dir: str, reps: int) -> dict:
 
 
 def main() -> None:
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def build(docs: int):
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "128")

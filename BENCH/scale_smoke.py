@@ -13,6 +13,8 @@ DATA = os.path.join(REPO, ".cache", "scaling_corpus.parquet")
 
 from pyspark.sql import SparkSession
 
+from epichypersketch_jl_spark.session import apply_malloc_tuning
+apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
 spark = (SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "128")
     .config("spark.ui.enabled", "false")

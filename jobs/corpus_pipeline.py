@@ -52,6 +52,8 @@ def main() -> None:
     ap.add_argument("--report", default=None, help="write per-stage counts JSON here")
     args = ap.parse_args()
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = SparkSession.builder.appName("ehs-corpus-pipeline").getOrCreate()
     from epichypersketch_jl_spark.operators import dedup as D
     from epichypersketch_jl_spark.operators.corpus_prep import (

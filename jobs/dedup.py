@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = SparkSession.builder.appName(f"ehs-dedup-{args.method}").getOrCreate()
     df = spark.read.parquet(args.input)
 

@@ -46,6 +46,8 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = SparkSession.builder.appName(f"ehs-enriched-k{args.k}").getOrCreate()
 
     from epichypersketch_jl_spark.config import HyperSketchConfig

@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--bloom-out", default=None)
     args = ap.parse_args()
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = SparkSession.builder.appName(f"ehs-{args.sketch}").getOrCreate()
     df = spark.read.parquet(args.input)
 

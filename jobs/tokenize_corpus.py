@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
 
+    from epichypersketch_jl_spark.session import apply_malloc_tuning
+    apply_malloc_tuning()  # numpy-temp mmap churn: session.MALLOC_TUNING
     spark = SparkSession.builder.appName("ehs-tokenize").getOrCreate()
 
     from epichypersketch_jl_spark.sources.tables import (
