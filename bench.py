@@ -50,11 +50,16 @@ def _cpu_stat() -> tuple[int, int]:
     return sum(vals), vals[3] + vals[4]  # idle + iowait
 
 
-def _tree_jiffies() -> int:
-    """CPU jiffies (utime+stime) consumed by this process and every live
-    descendant — the Python driver plus the local-mode JVM and its Python
-    workers.  Dead children are not re-counted because reps compare deltas
-    over an interval during which the tree is live."""
+def _tree_jiffies() -> tuple[int, int]:
+    """(ours, kernel_threads) CPU jiffies.  `ours` = utime+stime of this
+    process and every live descendant — the Python driver plus the
+    local-mode JVM and its Python workers.  `kernel_threads` = the kthreadd
+    (pid 2) subtree: kworkers/kcompactd/khugepaged burn CPU SERVICING our
+    own allocations, so counting them as foreign load misclassifies the
+    bench's own memory churn as contamination (observed: fast reps
+    rejected at ~6% "external" CPU that was kcompactd, while slow reps
+    measured clean).  Dead children are not re-counted because reps
+    compare deltas over an interval during which the tree is live."""
     info: dict[int, tuple[int, int]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
@@ -66,24 +71,29 @@ def _tree_jiffies() -> int:
             continue
         rest = s[s.rfind(")") + 2 :].split()
         info[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-    mine, frontier = 0, {os.getpid()}
-    while frontier:
-        nxt = set()
-        for pid, (ppid, jiff) in info.items():
-            if ppid in frontier:
-                nxt.add(pid)
-        for pid in frontier:
-            if pid in info:
-                mine += info[pid][1]
-        frontier = nxt
-    return mine
+
+    def subtree(root: int) -> int:
+        total, frontier = 0, {root}
+        while frontier:
+            nxt = set()
+            for pid, (ppid, _j) in info.items():
+                if ppid in frontier:
+                    nxt.add(pid)
+            for pid in frontier:
+                if pid in info:
+                    total += info[pid][1]
+            frontier = nxt
+        return total
+
+    return subtree(os.getpid()), subtree(2)
 
 
 # A rep is contaminated when more than this fraction of the box's total CPU
-# jiffies during the rep went to processes OUTSIDE our tree.  loadavg alone
-# cannot make that call: our own 32-core burst inflates the 1-min average for
-# the rest of the bench (BENCH_r04's phantom 2.2x regression, VERDICT r4).
-EXT_CPU_CONTAMINATION_FRAC = 0.05
+# jiffies during the rep went to processes OUTSIDE our tree (kernel threads
+# excluded — they service OUR allocations).  loadavg alone cannot make that
+# call: our own 32-core burst inflates the 1-min average for the rest of
+# the bench (BENCH_r04's phantom 2.2x regression, VERDICT r4).
+EXT_CPU_CONTAMINATION_FRAC = 0.10
 
 
 def run_reps(fn, reps: int, max_retries: int = 2):
@@ -98,15 +108,15 @@ def run_reps(fn, reps: int, max_retries: int = 2):
         attempts -= 1
         la = _loadavg()
         tot0, idle0 = _cpu_stat()
-        ours0 = _tree_jiffies()
+        ours0, kt0 = _tree_jiffies()
         t0 = time.monotonic()
         result = fn()
         wall = time.monotonic() - t0
         tot1, idle1 = _cpu_stat()
-        ours1 = _tree_jiffies()
+        ours1, kt1 = _tree_jiffies()
         total_j = max(1, tot1 - tot0)
         busy_j = total_j - (idle1 - idle0)
-        ext_frac = max(0.0, busy_j - (ours1 - ours0)) / total_j
+        ext_frac = max(0.0, busy_j - (ours1 - ours0) - (kt1 - kt0)) / total_j
         recs.append(
             {
                 "wall_sec": round(wall, 3),
