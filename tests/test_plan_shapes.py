@@ -113,3 +113,67 @@ class TestPlanShapes:
         )
         gplan = _plan(grouped)
         assert "SinglePartition" not in gplan, gplan
+
+
+class TestRound5PlanShapes:
+    def test_gram_matrix_single_small_shuffle(self, spark, sf_dir):
+        """gram_matrix: map-only kernel, then ONE exchange carrying only
+        (tasks x d^2) partial rows — never row data, never a join."""
+        from epichypersketch_jl_spark.operators.similarity import gram_matrix
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        plan = _plan(gram_matrix(emb, "embedding"))
+        assert "Join" not in plan, plan
+        # the aggregate's partial->final exchange plus orderBy's range
+        # exchange; nothing else
+        assert plan.count("Exchange") <= 3, plan
+
+    def test_bloom_fp_audit_probe_is_join_free(self, spark, sf_dir):
+        """The probe side is a broadcast-blob annotate: no Join operator
+        anywhere (the bit array ships as one fixed-size blob)."""
+        from epichypersketch_jl_spark.operators.cardinality import bloom_fp_audit
+
+        cust = read_table(spark, sf_dir, "customer")
+        out = bloom_fp_audit(
+            cust.filter("c_custkey % 7 != 0"), "c_custkey",
+            cust.filter("c_custkey % 7 = 0"), "c_custkey",
+            n_bits=4096, n_hashes=3,
+        )
+        plan = _plan(out)
+        assert "Join" not in plan, plan
+
+    def test_lsh_candidate_plan_is_linear(self, spark, sf_dir):
+        """The MinHash-LSH pair plan must stay a single linear chain: the
+        signature pipeline (MapInArrow) appears ONCE and the doc scan at
+        most thrice (signatures + the two verify-side shingle maps) — the
+        branch-and-union formulation regressed to 17 scans / 5 kernel
+        recomputations."""
+        from epichypersketch_jl_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = _plan(minhash_lsh_pairs(docs, threshold=0.5))
+        assert plan.count("MapInArrow") == 1, plan
+        n_scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+        assert n_scans <= 3, plan
+
+    def test_contamination_single_join(self, spark, sf_dir):
+        from epichypersketch_jl_spark.operators.text_analysis import (
+            ngram_contamination,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = ngram_contamination(docs.limit(40), docs.limit(10))
+        plan = _plan(out)
+        assert plan.count("Join") <= 1 or "BroadcastHashJoin" in plan, plan
+
+    def test_percentile_rank_no_collect_to_driver(self, spark, sf_dir):
+        """percentile_rank is one DataFrame job end to end: the merged-blob
+        table joins back (broadcast or shuffle — AQE's call), it never
+        round-trips blobs through the driver, so the plan contains the
+        join and both mapInArrow stages in ONE tree."""
+        from epichypersketch_jl_spark.operators.quantiles import percentile_rank
+
+        ev = read_table(spark, sf_dir, "events")
+        plan = _plan(percentile_rank(ev, "value", "event_type"))
+        assert plan.count("MapInArrow") >= 3, plan  # build, merge, annotate
+        assert "Join" in plan, plan
