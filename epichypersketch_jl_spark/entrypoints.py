@@ -1903,6 +1903,108 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+WMH_K = 128
+WMH_BOUND_X1000 = 200  # ~4.5 sigma at K=128 (se <= 0.0442)
+
+
+def q_weighted_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (bag) Jaccard near-dup scoring via ICWS weighted MinHash
+    (operators/dedup.weighted_minhash_signatures, Ioffe 2010): per doc the
+    weighted set is token -> occurrence count, pairs blocked to the same
+    source (the kmv_doc_jaccard discipline — never all-pairs).  The gate
+    row per pair carries the SQL-exact facts — sum min(counts),
+    sum max(counts), and the integer weighted-Jaccard wj_x1000 — plus the
+    estimator invariant |est - wj| <= 0.2 (4.5 sigma at K=128), checked
+    for real against the signature match fraction."""
+    from .operators.dedup import weighted_minhash_signatures
+
+    seq = _seq(spark, sf_dir)
+    bags = (
+        seq.select("doc_id", "source", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    docs2 = (
+        bags.groupBy("doc_id", "source")
+        .agg(F.sort_array(F.collect_list(F.struct("tok", "c"))).alias("ps"))
+        .select(
+            "doc_id",
+            "source",
+            F.transform("ps", lambda s: s.tok).alias("items"),
+            F.transform("ps", lambda s: s.c.cast("double")).alias("weights"),
+            F.aggregate(
+                F.transform("ps", lambda s: s.c), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("total"),
+        )
+    )
+    sigs = weighted_minhash_signatures(
+        docs2, items_col="items", weights_col="weights", num_hashes=WMH_K, seed=42
+    )
+    meta = docs2.select("doc_id", "source", "total").join(sigs, "doc_id")
+    a = meta.alias("a")
+    b = meta.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.total").alias("ta"),
+        F.col("b.total").alias("tb"),
+        F.aggregate(
+            F.zip_with(
+                "a.wsig",
+                "b.wsig",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_match"),
+    )
+    inter = (
+        bags.alias("x")
+        .join(
+            bags.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .agg(F.sum(F.least("x.c", "y.c")).alias("inter_min_sum"))
+    )
+    out = (
+        pairs.join(inter, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("inter_min_sum", F.lit(0)).alias("inter_min_sum"),
+            (F.col("ta") + F.col("tb") - F.coalesce("inter_min_sum", F.lit(0))).alias(
+                "union_max_sum"
+            ),
+            "n_match",
+        )
+        .select(
+            "d1",
+            "d2",
+            "inter_min_sum",
+            "union_max_sum",
+            F.expr("(1000 * inter_min_sum) div union_max_sum").alias("wj_x1000"),
+            (
+                F.abs(
+                    F.col("n_match") * 1000 / WMH_K
+                    - (F.col("inter_min_sum") * 1000 / F.col("union_max_sum"))
+                )
+                <= WMH_BOUND_X1000
+            ).alias("est_ok"),
+        )
+        .orderBy("d1", "d2")
+    )
+    return out
+
+
 DGIM_WINDOW_H = 240
 
 
@@ -2035,6 +2137,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_fully_capped": q_dedup_fully_capped,
+    "weighted_doc_jaccard": q_weighted_doc_jaccard,
     "bloom_fp_audit": q_bloom_fp_audit,
     "embedding_gram": q_embedding_gram,
     "embedding_fd_bound": q_embedding_fd_bound,
@@ -2428,6 +2531,35 @@ WITH pr AS (
 SELECT CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
        CAST(SUM(val) AS BIGINT) AS gram_fp
 FROM pr GROUP BY i, j ORDER BY d1, d2
+""",
+    "weighted_doc_jaccard": f"""
+WITH {_TOK_CTE},
+src AS (SELECT doc_id, source FROM documents),
+bags AS (
+  SELECT t.doc_id, s.source, t.tok, count(*) AS c
+  FROM toks t JOIN src s USING (doc_id)
+  GROUP BY t.doc_id, s.source, t.tok
+),
+totals AS (SELECT doc_id, source, sum(c) AS total FROM bags GROUP BY doc_id, source),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.total AS ta, b.total AS tb
+  FROM totals a JOIN totals b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2,
+         sum(least(x.c, y.c)) AS inter_min_sum
+  FROM bags x JOIN bags y
+    ON x.source = y.source AND x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.d1, p.d2,
+       CAST(coalesce(i.inter_min_sum, 0) AS BIGINT) AS inter_min_sum,
+       CAST(p.ta + p.tb - coalesce(i.inter_min_sum, 0) AS BIGINT) AS union_max_sum,
+       CAST((1000 * coalesce(i.inter_min_sum, 0))
+            // (p.ta + p.tb - coalesce(i.inter_min_sum, 0)) AS BIGINT) AS wj_x1000,
+       true AS est_ok
+FROM pairs p LEFT JOIN inter i USING (d1, d2)
+ORDER BY p.d1, p.d2
 """,
     "doc_repetition": """
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -188,6 +188,115 @@ def fully_capped_docs(
     )
 
 
+# ---------------------------------------------------------- weighted MinHash
+
+_ICWS_SALTS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4, 0x1656)
+
+
+def _icws_uniform(tokens: np.ndarray, k: int, j: int, seed: int) -> np.ndarray:
+    """Deterministic uniform(0,1) stream indexed by (token, sample k,
+    stream j) — splitmix64 of a mixed key; the +0.5 shift keeps values
+    strictly inside (0,1) so logs are finite."""
+    key = (
+        tokens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ np.uint64(k * 0x100000001B3 + _ICWS_SALTS[j] + seed * 0x1000193)
+    )
+    h = splitmix64(key)
+    return (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+
+
+def weighted_minhash_signatures(
+    df: DataFrame,
+    *,
+    items_col: str = "items",
+    weights_col: str = "weights",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ICWS weighted MinHash (Ioffe 2010): per row, a `num_hashes`-slot
+    signature over the weighted set (items[i] -> weights[i] > 0) such that
+    for two rows P[slot_k matches] = weighted Jaccard
+    sum_t min(wA_t, wB_t) / sum_t max(wA_t, wB_t) — the bag-similarity
+    companion to the set-based minhash_signatures (counts, TF weights,
+    importance scores).
+
+    Each slot draws r, c ~ Gamma(2,1) and beta ~ U(0,1) deterministically
+    from (item, slot, seed) hash streams, computes Ioffe's consistent
+    sample t_k = floor(ln w / r + beta), ln a = ln c - r(t_k - beta) - r,
+    and keeps the argmin item; the emitted slot value hashes (item, t_k)
+    so equality testing is one int64 compare.  Vectorized numpy per Arrow
+    batch (a K-iteration loop of flat array ops; no per-row Python).
+    Rows with no positive-weight item get an all-sentinel signature
+    (int64 min) that never matches anything.
+    """
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("wsig", ArrayType(LongType(), False), False),
+        ]
+    )
+    src = df.select(id_col, items_col, weights_col)
+    sentinel = np.iinfo(np.int64).min
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            items, offsets = _flat_uint64_list(batch.column(items_col))
+            wcol = batch.column(weights_col)
+            if isinstance(wcol, pa.ChunkedArray):
+                wcol = wcol.combine_chunks()
+            woff = wcol.offsets.to_numpy().astype(np.int64)
+            wflat = wcol.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            wflat = wflat[woff[0] : woff[-1]]
+            if len(wflat) != len(items):
+                raise ValueError("items/weights misaligned")
+            n_docs = batch.num_rows
+            sig = np.full((n_docs, num_hashes), sentinel, dtype=np.int64)
+            pos = wflat > 0
+            if pos.any():
+                toks = items[pos].astype(np.int64)
+                ln_w = np.log(wflat[pos])
+                seg = np.repeat(np.arange(n_docs), np.diff(offsets))[pos]
+                seg_starts = np.flatnonzero(
+                    np.concatenate(([True], seg[1:] != seg[:-1]))
+                )
+                seg_ids = seg[seg_starts]
+                for k in range(num_hashes):
+                    u1 = _icws_uniform(toks, k, 0, seed)
+                    u2 = _icws_uniform(toks, k, 1, seed)
+                    u3 = _icws_uniform(toks, k, 2, seed)
+                    u4 = _icws_uniform(toks, k, 3, seed)
+                    beta = _icws_uniform(toks, k, 4, seed)
+                    r = -np.log(u1 * u2)
+                    ln_c = np.log(-np.log(u3 * u4))
+                    t_k = np.floor(ln_w / r + beta)
+                    ln_a = ln_c - r * (t_k - beta) - r
+                    seg_min = np.minimum.reduceat(ln_a, seg_starts)
+                    is_min = ln_a == seg_min[np.searchsorted(seg_ids, seg)]
+                    # first argmin per segment
+                    cand = np.flatnonzero(is_min)
+                    first = cand[
+                        np.flatnonzero(
+                            np.concatenate(([True], seg[cand][1:] != seg[cand][:-1]))
+                        )
+                    ]
+                    slot = splitmix64(
+                        toks[first].astype(np.uint64)
+                        * np.uint64(0xC2B2AE3D27D4EB4F)
+                        ^ t_k[first].astype(np.int64).astype(np.uint64)
+                    ).astype(np.int64)
+                    sig[seg[first], k] = slot
+            offs = pa.array(
+                np.arange(0, (n_docs + 1) * num_hashes, num_hashes, dtype=np.int32)
+            )
+            sig_col = pa.ListArray.from_arrays(offs, pa.array(sig.ravel()))
+            yield pa.RecordBatch.from_pydict(
+                {id_col: batch.column(id_col), "wsig": sig_col}
+            )
+
+    return src.mapInArrow(fn, out_schema)
+
+
 # ------------------------------------------------------------------- MinHash
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

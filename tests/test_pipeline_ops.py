@@ -1329,3 +1329,68 @@ class TestRepetitionAndContamination:
         assert (out[10].n_distinct_ngrams, out[10].n_contaminated) == (3, 2)
         assert out[10].contamination_x1000 == 666
         assert (out[11].n_contaminated, out[11].contamination_x1000) == (0, 0)
+
+
+class TestWeightedMinHash:
+    def test_icws_accuracy_and_determinism(self, spark):
+        """ICWS signature match fraction tracks exact weighted Jaccard
+        (Ioffe 2010 property) within a few standard errors at K=256, and
+        the signatures are bit-deterministic across runs."""
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.dedup import (
+            weighted_minhash_signatures,
+        )
+
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(20):
+            base = {int(t): float(rng.integers(1, 10))
+                    for t in rng.choice(1000, size=20, replace=False)}
+            other = dict(base)
+            for t in list(other)[:10]:
+                other[t] += float(rng.integers(1, 5))
+            for t in rng.choice(np.arange(1000, 1020), size=5, replace=False):
+                other[int(t)] = float(rng.integers(1, 8))
+            rows.append((2 * i, list(base.keys()), list(base.values())))
+            rows.append((2 * i + 1, list(other.keys()), list(other.values())))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "items", "weights"])
+        df = spark.createDataFrame(pdf)
+        K = 256
+        sig = weighted_minhash_signatures(df, num_hashes=K, seed=7).toPandas().set_index("doc_id")
+        errs = []
+        for i in range(20):
+            a = dict(zip(pdf[pdf.doc_id == 2 * i]["items"].iloc[0],
+                         pdf[pdf.doc_id == 2 * i]["weights"].iloc[0]))
+            b = dict(zip(pdf[pdf.doc_id == 2 * i + 1]["items"].iloc[0],
+                         pdf[pdf.doc_id == 2 * i + 1]["weights"].iloc[0]))
+            keys = set(a) | set(b)
+            exact = (sum(min(a.get(k, 0), b.get(k, 0)) for k in keys)
+                     / sum(max(a.get(k, 0), b.get(k, 0)) for k in keys))
+            est = float((np.array(sig.loc[2 * i].wsig)
+                         == np.array(sig.loc[2 * i + 1].wsig)).mean())
+            errs.append(abs(est - exact))
+        assert np.mean(errs) < 0.05 and np.max(errs) < 0.15, errs
+        sig2 = weighted_minhash_signatures(df, num_hashes=K, seed=7).toPandas().set_index("doc_id")
+        for i in sig.index:
+            assert (np.array(sig.loc[i].wsig) == np.array(sig2.loc[i].wsig)).all()
+
+    def test_identical_bags_match_fully_and_empty_sentinel(self, spark):
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.dedup import (
+            weighted_minhash_signatures,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "items": [[5, 9, 11], [5, 9, 11], []],
+                "weights": [[2.0, 1.0, 4.0], [2.0, 1.0, 4.0], []],
+            }
+        )
+        sig = weighted_minhash_signatures(
+            spark.createDataFrame(pdf), num_hashes=32, seed=3
+        ).toPandas().set_index("doc_id")
+        assert (np.array(sig.loc[1].wsig) == np.array(sig.loc[2].wsig)).all()
+        assert (np.array(sig.loc[3].wsig) == np.iinfo(np.int64).min).all()
