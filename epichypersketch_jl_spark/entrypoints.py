@@ -2068,6 +2068,22 @@ def q_events_stream_dgim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=out.schema)
 
 
+def q_embedding_gram_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label fixed-point Gram matrices (gram_matrix(group_col=...)) —
+    within-class second moments, the LDA-style covariance diagnostic.
+    Same order-free integer-sum exactness as embedding_gram, one matrix
+    per label (10 labels x 2,080 entries at sf0.01)."""
+    from .operators.similarity import gram_matrix
+
+    embs = read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = gram_matrix(embs, "embedding", fp_bits=20, group_col="label")
+    return out.select(
+        F.col("label").cast("int").alias("label"), "d1", "d2", "gram_fp"
+    ).orderBy("label", "d1", "d2")
+
+
 FD_L = 16
 
 
@@ -2140,6 +2156,7 @@ QUERIES = {
     "weighted_doc_jaccard": q_weighted_doc_jaccard,
     "bloom_fp_audit": q_bloom_fp_audit,
     "embedding_gram": q_embedding_gram,
+    "embedding_gram_by_label": q_embedding_gram_by_label,
     "embedding_fd_bound": q_embedding_fd_bound,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "doc_chunks": q_doc_chunks,
@@ -2613,6 +2630,19 @@ WHERE epoch_ms(CAST(e.ts AS TIMESTAMP)) > asof_ms - {DGIM_WINDOW_H} * 3600000
   AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= asof_ms
 GROUP BY e.user_id
 ORDER BY e.user_id
+""",
+    "embedding_gram_by_label": """
+WITH pr AS (
+  SELECT label, i, j,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                    * 1048576.0) AS BIGINT) AS val
+  FROM embeddings, range(1, 65) a(i), range(1, 65) b(j)
+  WHERE i <= j
+)
+SELECT CAST(label AS INT) AS label, CAST(i AS INT) AS d1, CAST(j AS INT) AS d2,
+       CAST(SUM(val) AS BIGINT) AS gram_fp
+FROM pr GROUP BY label, i, j ORDER BY label, d1, d2
 """,
     "embedding_fd_bound": f"""
 WITH pr AS (

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType, StructField, StructType
 
 
 def _vectors_matrix(col: "pa.Array", dim: int | None) -> tuple["np.ndarray", int]:
@@ -331,6 +331,7 @@ def gram_matrix(
     vec_col: str = "embedding",
     *,
     fp_bits: int = 20,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point Gram matrix of an embedding column: the d x d second-
     moment statistic G[i,j] = sum_rows e_i * e_j behind PCA whitening,
@@ -346,51 +347,78 @@ def gram_matrix(
     sum close the loop).  True G is recovered as gram_fp / 2^fp_bits with
     per-row error < 2^-fp_bits.
 
+    With group_col, one Gram matrix per group (per-class covariance —
+    the within-class second moments behind LDA-style diagnostics of an
+    embedding table): output gains the group column, the kernel keeps one
+    accumulator per (task, group), and the shuffle grows to
+    O(tasks * groups_seen_per_task * d^2) partial rows — still never row
+    data.
+
     Plan: map-only kernel computes each task's (d*(d+1)/2)-entry partial
     in numpy (column sweep, no n x d x d tensor), emits d*(d+1)/2 rows
-    per task; one map-side-combined groupBy sums partials.  Shuffle is
-    O(tasks * d^2), never rows.  At extreme row counts shrink fp_bits so
-    n_rows * max|e|^2 * 2^fp_bits stays below 2^63.
+    per task (per group); one map-side-combined groupBy sums partials.
+    At extreme row counts shrink fp_bits so n_rows * max|e|^2 * 2^fp_bits
+    stays below 2^63.
     """
     scale = float(1 << fp_bits)
-    out_schema = StructType(
-        [
-            StructField("d1", IntegerType(), False),
-            StructField("d2", IntegerType(), False),
-            StructField("gram_fp", LongType(), False),
-        ]
-    )
-    src = emb.select(vec_col)
+    fields = [
+        StructField("d1", IntegerType(), False),
+        StructField("d2", IntegerType(), False),
+        StructField("gram_fp", LongType(), False),
+    ]
+    if group_col is not None:
+        fields = [StructField("__grp", StringType(), False)] + fields
+    out_schema = StructType(fields)
+    if group_col is None:
+        src = emb.select(vec_col)
+    else:
+        src = emb.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("None")).alias("__grp"),
+            vec_col,
+        )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc: np.ndarray | None = None
+        accs: dict[str | None, np.ndarray] = {}
         dim = None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             mat, dim = _vectors_matrix(batch.column(vec_col), dim)
-            if acc is None:
-                acc = np.zeros((dim, dim), dtype=np.int64)
-            for i in range(dim):
-                prod = mat[:, i : i + 1] * mat[:, i:]  # (n, dim-i) doubles
-                acc[i, i:] += np.floor(prod * scale).astype(np.int64).sum(axis=0)
-        if acc is None:
+            if group_col is None:
+                groups = {None: np.arange(batch.num_rows)}
+            else:
+                gvals = np.asarray(batch.column("__grp").to_pylist())
+                groups = {
+                    g: np.flatnonzero(gvals == g) for g in np.unique(gvals)
+                }
+            for g, rows in groups.items():
+                acc = accs.get(g)
+                if acc is None:
+                    acc = accs[g] = np.zeros((dim, dim), dtype=np.int64)
+                sub = mat[rows]
+                for i in range(dim):
+                    prod = sub[:, i : i + 1] * sub[:, i:]  # (n_g, dim-i)
+                    acc[i, i:] += np.floor(prod * scale).astype(np.int64).sum(axis=0)
+        if not accs:
             return
         iu, ju = np.triu_indices(dim)
-        yield pa.RecordBatch.from_pydict(
-            {
+        for g, acc in accs.items():
+            cols = {
                 "d1": pa.array((iu + 1).astype(np.int32)),
                 "d2": pa.array((ju + 1).astype(np.int32)),
                 "gram_fp": pa.array(acc[iu, ju]),
             }
-        )
+            if group_col is not None:
+                cols = {"__grp": pa.array([g] * len(iu)), **cols}
+            yield pa.RecordBatch.from_pydict(cols)
 
     partials = src.mapInArrow(fn, out_schema)
-    return (
-        partials.groupBy("d1", "d2")
-        .agg(F.sum("gram_fp").alias("gram_fp"))
-        .orderBy("d1", "d2")
-    )
+    keys = (["__grp"] if group_col is not None else []) + ["d1", "d2"]
+    out = partials.groupBy(*keys).agg(F.sum("gram_fp").alias("gram_fp"))
+    if group_col is not None:
+        out = out.withColumnRenamed("__grp", group_col)
+        keys = [group_col, "d1", "d2"]
+    return out.orderBy(*keys)
 
 
 def fd_sketch(
