@@ -163,6 +163,150 @@ class BuildStats:
     n_updates: int = 0
 
 
+# ------------------------------------------------- multiset counting fast path
+#
+# For ordinary (non-convolution) motifs the key of a position subset is the
+# SORTED tuple of its token values, so the exact multiset histogram of all
+# per-row k-combinations factorizes per row through the token-count vector:
+# with n_t = count of token t in the row, the number of subsets whose sorted
+# values equal the multiset M is prod_t C(n_t, mult_M(t)).  When the token
+# alphabet is small (V = vmax+1), folding this way costs O(rows * V^k) matmul
+# flops instead of the sum_rows C(L,k)*k enumerated cells of the gather/pack
+# pipeline — on the bench corpus (V=32, L~54, k=3) that is ~16k flops/row vs
+# ~485k gathered cells/row, a BLAS-speed fold that replaces the kernel's
+# top-line costs (take/pack/bincount measured 70% of the k=3 aggregate wall).
+# Every sum is a partial sum of the nonnegative integer combination total, so
+# float64 matmuls are exact while sum_rows C(L,k) < 2^52 (guarded).
+#
+# Hard caps keep intermediates bounded: the k=3 pair-product matrix is
+# processed in pair blocks of <= _MS_BLOCK_CELLS cells, and V is capped per k
+# so the (C(V,2) x V) output stays tens of MB.  Above the caps, or when the
+# matmul flops would not undercut the enumeration cells, callers fall back to
+# the enumeration path — results are identical either way (pytest-pinned).
+
+_MS_MAX_V = {1: 1 << 22, 2: 1024, 3: 256}
+_MS_BLOCK_CELLS = 4 << 20  # rows x pair-block float64 cells per matmul slice
+_MS_BLAS_ADVANTAGE = 8  # matmul flops are ~this much cheaper than gather cells
+_MS_EXACT_CAP = float(1 << 52)  # float64 integer-exactness guard
+
+
+def multiset_fold(
+    tokens_flat: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    vmax: int | None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Exact (unique sorted k-motif keys, occurrence counts) for one batch
+    without enumerating position subsets, or None when ineligible (large
+    alphabet, k > 3, counting not cheaper, or exactness cap exceeded).
+
+    Equivalent by construction to enumerating every per-row k-combination,
+    sorting each, and folding duplicates — the identity the enumeration
+    kernels compute; equality is pinned by tests/test_motif_kernels.py.
+    """
+    import os
+
+    if os.environ.get("EHS_DISABLE_MSFOLD"):  # ops escape hatch / A-B timing
+        return None
+    if vmax is None or k not in _MS_MAX_V:
+        return None
+    V = int(vmax) + 1
+    if V > _MS_MAX_V[k]:
+        return None
+    lengths = np.diff(offsets)
+    n_rows = len(lengths)
+    if n_rows == 0 or tokens_flat.size == 0:
+        return np.empty((0, k), np.int64), np.empty(0, np.int64)
+    # cost + exactness gate: enum cells vs matmul flops, total combos < 2^52
+    from .combinations import _binom_vec
+
+    total_combs = float(_binom_vec(lengths, k).sum())
+    if total_combs >= _MS_EXACT_CAP:
+        return None
+    if k > 1:
+        flops = float(n_rows) * (float(V) ** k) / (2.0 if k == 3 else 1.0)
+        if flops >= _MS_BLAS_ADVANTAGE * total_combs * k:
+            return None
+
+    if k == 1:
+        cnt = np.bincount(tokens_flat, minlength=V)
+        nz = np.flatnonzero(cnt)
+        return nz[:, None].astype(np.int64), cnt[nz].astype(np.int64)
+
+    # per-row token counts, rows chunked so the count matrix stays bounded
+    rows_per = max(1, _MS_BLOCK_CELLS // V)
+    iu, ju = (np.triu_indices(V, 1) if k == 3 else (None, None))
+    acc2 = np.zeros((V, V)) if k == 2 else None  # sum_d n_a n_b
+    acc_eq2 = np.zeros(V) if k == 2 else None  # sum_d C(n_a, 2)
+    acc3 = np.zeros((len(iu), V)) if k == 3 else None  # sum_d n_a n_b n_c (a<b)
+    acc21 = np.zeros((V, V)) if k == 3 else None  # sum_d C(n_t2,2) n_t1
+    acc_eq3 = np.zeros(V) if k == 3 else None  # sum_d C(n_a, 3)
+    pair_block = max(1, _MS_BLOCK_CELLS // max(rows_per, 1))
+    for s in range(0, n_rows, rows_per):
+        e = min(s + rows_per, n_rows)
+        seg = tokens_flat[offsets[s] : offsets[e]]
+        row_of = np.repeat(np.arange(e - s), lengths[s:e])
+        N = (
+            np.bincount(row_of * V + seg, minlength=(e - s) * V)
+            .reshape(e - s, V)
+            .astype(np.float64)
+        )
+        if k == 2:
+            acc2 += N.T @ N
+            acc_eq2 += (N * (N - 1.0)).sum(axis=0) * 0.5
+        else:
+            F2 = N * (N - 1.0) * 0.5
+            acc21 += F2.T @ N
+            acc_eq3 += (F2 * (N - 2.0)).sum(axis=0) / 3.0
+            for ps in range(0, len(iu), pair_block):
+                pe = min(ps + pair_block, len(iu))
+                P = N[:, iu[ps:pe]] * N[:, ju[ps:pe]]
+                acc3[ps:pe] += P.T @ N
+
+    keys_list: list[np.ndarray] = []
+    cnt_list: list[np.ndarray] = []
+
+    def _emit(keys: np.ndarray, cnt: np.ndarray) -> None:
+        nz = np.flatnonzero(cnt)
+        if nz.size:
+            keys_list.append(keys[nz])
+            cnt_list.append(np.rint(cnt[nz]).astype(np.int64))
+
+    if k == 2:
+        a, b = np.triu_indices(V, 1)
+        _emit(np.stack([a, b], axis=1).astype(np.int64), acc2[a, b])
+        d = np.arange(V, dtype=np.int64)
+        _emit(np.stack([d, d], axis=1), acc_eq2)
+    else:
+        # distinct a<b<c: entries of acc3[(a,b), c] with c > b
+        pa, pb = iu, ju
+        cmask = np.arange(V)[None, :] > pb[:, None]
+        pi, ci = np.nonzero(cmask & (acc3 > 0))
+        if pi.size:
+            keys_list.append(
+                np.stack([pa[pi], pb[pi], ci], axis=1).astype(np.int64)
+            )
+            cnt_list.append(np.rint(acc3[pi, ci]).astype(np.int64))
+        # one token doubled (t2) + one single (t1 != t2), sorted placement
+        t2, t1 = np.nonzero(acc21 > 0)
+        off_diag = t1 != t2
+        t2, t1 = t2[off_diag], t1[off_diag]
+        if t2.size:
+            keys = np.where(
+                (t1 < t2)[:, None],
+                np.stack([t1, t2, t2], axis=1),
+                np.stack([t2, t2, t1], axis=1),
+            ).astype(np.int64)
+            keys_list.append(keys)
+            cnt_list.append(np.rint(acc21[t2, t1]).astype(np.int64))
+        d = np.arange(V, dtype=np.int64)
+        _emit(np.stack([d, d, d], axis=1), acc_eq3)
+
+    if not keys_list:
+        return np.empty((0, k), np.int64), np.empty(0, np.int64)
+    return np.concatenate(keys_list), np.concatenate(cnt_list)
+
+
 def build_batch(
     cms: CountMinSketch,
     tokens_flat: np.ndarray,
@@ -182,6 +326,19 @@ def build_batch(
             "columns must have identical per-row lengths"
         )
     vb = _value_bound(tokens_flat, positions_flat)
+    if not conv and not cms.conservative:
+        # multiset-counting fold (small alphabets): identical table — the
+        # enumeration path also folds duplicates before updating — but the
+        # conservative sketch is granularity-sensitive, so CU keeps the
+        # enumeration path's chunking verbatim.
+        folded = multiset_fold(tokens_flat, offsets, k, vb)
+        if folded is not None:
+            fk, fc = folded
+            cms.update_batch(fk, fc, vmax=vb)
+            if stats is not None:
+                stats.n_rows += len(lengths)
+                stats.n_tokens += int(lengths.sum())
+            return
     presorted = conv and _positions_presorted(positions_flat, offsets)
     sc_t, sc_p = _CombScratch(), _CombScratch()
     for rows, L in iter_length_groups(lengths, k, cfg.max_cells):
@@ -279,6 +436,29 @@ def aggregate_batch(
         )
     acc_k, acc_o, acc_c = [], [], []
     vb = _value_bound(tokens_flat, positions_flat)
+    if not conv and weights_flat is None:
+        # multiset-counting fold: keys arrive pre-deduplicated with exact
+        # occurrence counts, so the sketch is queried once per distinct key
+        # and the min_count filter applies identically (est is key-determined
+        # against the same merged sketch the enumeration path queries).
+        folded = multiset_fold(tokens_flat, offsets, k, vb)
+        if folded is not None:
+            fk, fc = folded
+            if len(fk) == 0:
+                return (
+                    np.empty((0, k), np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                    np.empty(0, np.int64),
+                )
+            est = cms.estimate(fk, vmax=vb)
+            m = est >= cfg.min_count
+            return (
+                fk[m],
+                fc[m],
+                fc[m].astype(np.float64) * float(k),
+                est[m],
+            )
     presorted = conv and _positions_presorted(positions_flat, offsets)
 
     def process(flat_keys: np.ndarray, contrib: np.ndarray | None) -> None:

@@ -355,3 +355,95 @@ class TestPresortedPositions:
         assert (outs[0][1] == outs[1][1]).all()
         assert (outs[0][2] == outs[1][2]).all()
         assert (outs[0][3] == outs[1][3]).all()
+
+
+class TestMultisetFold:
+    """The small-alphabet counting fold (multiset_fold) must be cell-exact
+    against brute-force enumeration and against the enumeration kernels."""
+
+    def test_matches_bruteforce(self):
+        from itertools import combinations
+        from collections import Counter
+
+        from epichypersketch_jl_spark.functions.motif_kernels import multiset_fold
+
+        rng = np.random.default_rng(11)
+        for trial in range(25):
+            k = int(rng.integers(1, 4))
+            V = int(rng.integers(2, 12))
+            n_rows = int(rng.integers(0, 18))
+            lens = rng.integers(0, 14, size=n_rows)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            flat = rng.integers(0, V, size=int(lens.sum())).astype(np.int32)
+            vmax = int(flat.max()) if len(flat) else 0
+            keys, cnt = multiset_fold(flat, offsets, k, vmax)
+            ref = Counter()
+            for i in range(n_rows):
+                toks = sorted(flat[offsets[i] : offsets[i + 1]])
+                for c in combinations(toks, k):
+                    ref[c] += 1
+            got = {tuple(kk): int(cc) for kk, cc in zip(keys, cnt)}
+            assert got == dict(ref), (trial, k, V)
+
+    def test_kernel_paths_identical(self, monkeypatch):
+        """build_batch/aggregate_batch produce byte-identical sketches and
+        aggregates with the counting path on and off (EHS_DISABLE_MSFOLD)."""
+        import os
+
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            aggregate_batch,
+            build_batch,
+            make_cms,
+        )
+
+        rng = np.random.default_rng(5)
+        lens = rng.integers(0, 40, size=200)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = rng.integers(1, 20, size=int(lens.sum())).astype(np.int32)
+        for k in (1, 2, 3):
+            cfg = HyperSketchConfig(motif_size=k, min_count=2, seed=42)
+            outs = []
+            for disable in ("", "1"):
+                if disable:
+                    monkeypatch.setenv("EHS_DISABLE_MSFOLD", disable)
+                else:
+                    monkeypatch.delenv("EHS_DISABLE_MSFOLD", raising=False)
+                cms = make_cms(cfg, conv=False)
+                build_batch(cms, flat, offsets, cfg)
+                keys, occ, csum, est = aggregate_batch(cms, flat, offsets, cfg)
+                order = np.lexsort(keys.T[::-1])
+                outs.append(
+                    (cms.to_bytes(), keys[order], occ[order], csum[order], est[order])
+                )
+            a, b = outs
+            assert a[0] == b[0], f"k={k}: sketch bytes differ"
+            for i in range(1, 5):
+                assert np.array_equal(a[i], b[i]), f"k={k}: aggregate field {i} differs"
+
+    def test_conservative_build_keeps_enumeration(self):
+        """CU is fold-granularity-sensitive; the counting path must not
+        engage for conservative sketches (table equality with the
+        enumeration path is the invariant the CU oracles pin)."""
+        from epichypersketch_jl_spark.config import HyperSketchConfig
+        from epichypersketch_jl_spark.functions.motif_kernels import (
+            build_batch,
+            make_cms,
+        )
+
+        rng = np.random.default_rng(9)
+        lens = rng.integers(2, 20, size=100)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = rng.integers(1, 8, size=int(lens.sum())).astype(np.int32)
+        cfg = HyperSketchConfig(motif_size=2, min_count=1, seed=42, conservative=True)
+        import os
+
+        cms_a = make_cms(cfg, conv=False)
+        build_batch(cms_a, flat, offsets, cfg)
+        os.environ["EHS_DISABLE_MSFOLD"] = "1"
+        try:
+            cms_b = make_cms(cfg, conv=False)
+            build_batch(cms_b, flat, offsets, cfg)
+        finally:
+            del os.environ["EHS_DISABLE_MSFOLD"]
+        assert cms_a.to_bytes() == cms_b.to_bytes()
