@@ -714,13 +714,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    hot_bucket_docs: int | None = 4096,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via band join.
 
     Pigeonhole: splitting 64 bits into (max_hamming + 1) bands guarantees
     any pair within the distance shares at least one intact band, so the
     candidate join is complete for the requested radius (band count adapts
-    to max_hamming; 4x16 bits for the default radius 3)."""
+    to max_hamming; 4x16 bits for the default radius 3).
+
+    Candidates come from the same hot-bucket-safe plan as MinHash-LSH
+    (_bucket_pair_join): a flooded band bucket (boilerplate docs sharing a
+    SimHash band) is split into deterministic id-hash block cells whose
+    pair sets partition the bucket's — identical candidates, no
+    single-task m^2/2 expansion.  The bucket key is the exact
+    (band, band_bits) struct, so distinct bands never collide."""
     n_bands = max_hamming + 1
     if n_bands > 16:
         raise ValueError("max_hamming > 15 unsupported (bands would be < 4 bits)")
@@ -733,36 +741,22 @@ def simhash_near_pairs(
                 F.lit(i).alias("band"),
                 F.shiftrightunsigned(F.col("simhash"), i * width)
                 .bitwiseAND(F.lit(mask))
-                .alias("bh"),
+                .alias("bits"),
             )
             for i in range(n_bands)
         ]
     )
-    bands = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(band_structs).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bh")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+    banded = sh.select(F.col(id_col), F.explode(band_structs).alias("bh"))
+    cand = _bucket_pair_join(banded, id_col, hot_bucket_docs)
+    ha = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    hb = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    return cand
 
 
 # ------------------------------------------------- cluster resolution

@@ -288,9 +288,18 @@ def cosine_neardup_lsh(
     dim: int = 64,
     seed: int = 42,
     threshold: float = 0.9,
+    hot_bucket_docs: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket-colliding pairs verified by
-    exact cosine >= threshold.  (a < b; cos_pct integer-exact.)"""
+    exact cosine >= threshold.  (a < b; cos_pct integer-exact.)
+
+    Candidates use dedup's hot-bucket-safe _bucket_pair_join: a flooded
+    hyperplane cell (e.g. near-zero embeddings all landing in one sign
+    pattern) is split into deterministic id-hash block cells that
+    partition its pair set — identical candidates, no single-task m^2/2
+    expansion.  The bucket key is the exact (table, bucket) struct."""
+    from .dedup import _bucket_pair_join
+
     b = hyperplane_buckets(
         emb,
         id_col=id_col,
@@ -300,17 +309,8 @@ def cosine_neardup_lsh(
         dim=dim,
         seed=seed,
     )
-    x, y = b.alias("x"), b.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    banded = b.select(F.col(id_col), F.struct("table", "bucket").alias("bh"))
+    cand = _bucket_pair_join(banded, id_col, hot_bucket_docs)
     vecs = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     out = (
         cand.join(vecs.withColumnRenamed(id_col, "doc_a").withColumnRenamed("v", "va"), "doc_a")

@@ -124,16 +124,21 @@ def build_sketch_distributed(
         if not rows:
             return zero_fn(), []
         sk = from_bytes(bytes(rows[0].sketch))
-        # blob-level fast path (CMS): adds the decompressed narrow table
-        # straight into the accumulator, no per-blob widening copy
+        # blob-level fast path (CMS): decode straight into the accumulator,
+        # no per-blob widening copy; the bulk variant overlaps decompression
+        # across blobs (threaded — zlib releases the GIL)
+        bulk = getattr(sk, "merge_blobs_inplace", None)
         fast = getattr(sk, "merge_blob_inplace", None)
-        for r in rows[1:]:
-            if fast is not None:
-                fast(bytes(r.sketch))
-            elif hasattr(sk, "merge_inplace"):
-                sk = sk.merge_inplace(from_bytes(bytes(r.sketch)))
-            else:
-                sk = sk.merge(from_bytes(bytes(r.sketch)))
+        if bulk is not None:
+            bulk(bytes(r.sketch) for r in rows[1:])
+        else:
+            for r in rows[1:]:
+                if fast is not None:
+                    fast(bytes(r.sketch))
+                elif hasattr(sk, "merge_inplace"):
+                    sk = sk.merge_inplace(from_bytes(bytes(r.sketch)))
+                else:
+                    sk = sk.merge(from_bytes(bytes(r.sketch)))
         metrics = [{k: v for k, v in r.asDict().items() if k != "sketch"} for r in rows]
         return sk, metrics
     out = out.persist(StorageLevel.MEMORY_AND_DISK)

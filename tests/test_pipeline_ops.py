@@ -123,6 +123,26 @@ class TestDedup:
         sb = set(map(tuple, blocked.values.tolist()))
         assert sp == sb and len(sp) == 40 * 39 // 2
 
+    def test_simhash_hot_bucket_blocks_identical_pairs(self, spark):
+        """simhash_near_pairs now routes candidates through the same
+        block-cell scheme as MinHash: a flooded band bucket (identical
+        docs) split at cap 8 must yield EXACTLY the unsplit pair set."""
+        import pandas as pd
+
+        rows = [(i, "the same flooded boilerplate text repeated here")
+                for i in range(40)]
+        rows += [(100 + i, f"unique document number {i} with words {i*7} {i*13} {i*29}")
+                 for i in range(30)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        plain = simhash_near_pairs(df, max_hamming=3, hot_bucket_docs=None).toPandas()
+        blocked = simhash_near_pairs(df, max_hamming=3, hot_bucket_docs=8).toPandas()
+        sp = set(map(tuple, plain[["doc_a", "doc_b", "hamming"]].values.tolist()))
+        sb = set(map(tuple, blocked[["doc_a", "doc_b", "hamming"]].values.tolist()))
+        assert sp == sb
+        assert {(a, b, h) for a, b, h in sp if a < 40 and b < 40} == {
+            (a, b, 0) for a in range(40) for b in range(a + 1, 40)
+        }
+
     def test_simhash_identical_docs_distance_zero(self, spark):
         import pandas as pd
 
@@ -181,6 +201,27 @@ class TestSimilarity:
         assert len(out) > 0, "multi-table LSH should recall some pairs at 0.35"
         assert (out["cos_pct"] >= 0.35 * 1_000_000 - 1).all()
         assert (out["doc_a"] < out["doc_b"]).all()
+
+    def test_neardup_lsh_hot_bucket_blocks_identical_pairs(self, spark):
+        """cosine_neardup_lsh routes candidates through the block-cell
+        scheme: a flooded hyperplane cell (identical embeddings) split at
+        cap 8 must yield EXACTLY the unsplit pair set."""
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(64)
+        rows = [(i, (base + rng.standard_normal(64) * 0.01).tolist()) for i in range(40)]
+        rows += [(100 + i, rng.standard_normal(64).tolist()) for i in range(30)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+        kw = dict(n_planes=4, n_tables=8, threshold=0.9)
+        plain = cosine_neardup_lsh(df, hot_bucket_docs=None, **kw).toPandas()
+        blocked = cosine_neardup_lsh(df, hot_bucket_docs=8, **kw).toPandas()
+        sp = set(map(tuple, plain[["doc_a", "doc_b", "cos_pct"]].values.tolist()))
+        sb = set(map(tuple, blocked[["doc_a", "doc_b", "cos_pct"]].values.tolist()))
+        assert sp == sb
+        assert len({(a, b) for a, b, _ in sp if a < 40 and b < 40}) == 40 * 39 // 2
 
 
 class TestTextAnalysis:
