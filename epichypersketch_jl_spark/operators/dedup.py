@@ -226,9 +226,15 @@ def weighted_minhash_signatures(
     sample t_k = floor(ln w / r + beta), ln a = ln c - r(t_k - beta) - r,
     and keeps the argmin item; the emitted slot value hashes (item, t_k)
     so equality testing is one int64 compare.  Vectorized numpy per Arrow
-    batch (a K-iteration loop of flat array ops; no per-row Python).
-    Rows with no positive-weight item get an all-sentinel signature
-    (int64 min) that never matches anything.
+    batch (a K-iteration loop of flat array ops; no per-row Python), and
+    the (r, c, beta) hash streams — 5 splitmix64 + 3 log passes per slot,
+    the kernel's top-line cost — are computed once per DISTINCT item per
+    batch and gathered to positions, so repeated items (every bag corpus)
+    pay vocabulary-bounded hashing instead of token-stream-bounded.
+    Rows with no positive-weight item get a per-row SALTED sentinel
+    signature (splitmix64 of xxhash64(id) x slot): deterministic,
+    partitioning-independent, and never matching any other row — two
+    empty bags must not score as a perfect weighted-Jaccard pair.
     """
     out_schema = StructType(
         [
@@ -236,8 +242,9 @@ def weighted_minhash_signatures(
             StructField("wsig", ArrayType(LongType(), False), False),
         ]
     )
-    src = df.select(id_col, items_col, weights_col)
-    sentinel = np.iinfo(np.int64).min
+    src = df.select(
+        id_col, items_col, weights_col, F.xxhash64(F.col(id_col)).alias("__idh")
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -251,7 +258,22 @@ def weighted_minhash_signatures(
             if len(wflat) != len(items):
                 raise ValueError("items/weights misaligned")
             n_docs = batch.num_rows
-            sig = np.full((n_docs, num_hashes), sentinel, dtype=np.int64)
+            idh = (
+                batch.column("__idh").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            # salted sentinel default: unique per (row, slot), overwritten
+            # for every row that has at least one positive-weight item
+            with np.errstate(over="ignore"):
+                sig = (
+                    splitmix64(
+                        (
+                            idh[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                            ^ np.arange(num_hashes, dtype=np.uint64)[None, :]
+                        )
+                    )
+                    .astype(np.int64)
+                    .reshape(n_docs, num_hashes)
+                )
             pos = wflat > 0
             if pos.any():
                 toks = items[pos].astype(np.int64)
@@ -261,18 +283,24 @@ def weighted_minhash_signatures(
                     np.concatenate(([True], seg[1:] != seg[:-1]))
                 )
                 seg_ids = seg[seg_starts]
+                pos_of_seg = np.searchsorted(seg_ids, seg)  # constant across slots
+                uniq, inv = np.unique(toks, return_inverse=True)
+                hash_toks = uniq if len(uniq) < len(toks) else toks
+                gather = inv if len(uniq) < len(toks) else None
                 for k in range(num_hashes):
-                    u1 = _icws_uniform(toks, k, 0, seed)
-                    u2 = _icws_uniform(toks, k, 1, seed)
-                    u3 = _icws_uniform(toks, k, 2, seed)
-                    u4 = _icws_uniform(toks, k, 3, seed)
-                    beta = _icws_uniform(toks, k, 4, seed)
+                    u1 = _icws_uniform(hash_toks, k, 0, seed)
+                    u2 = _icws_uniform(hash_toks, k, 1, seed)
+                    u3 = _icws_uniform(hash_toks, k, 2, seed)
+                    u4 = _icws_uniform(hash_toks, k, 3, seed)
+                    beta = _icws_uniform(hash_toks, k, 4, seed)
                     r = -np.log(u1 * u2)
                     ln_c = np.log(-np.log(u3 * u4))
+                    if gather is not None:
+                        r, ln_c, beta = r[gather], ln_c[gather], beta[gather]
                     t_k = np.floor(ln_w / r + beta)
                     ln_a = ln_c - r * (t_k - beta) - r
                     seg_min = np.minimum.reduceat(ln_a, seg_starts)
-                    is_min = ln_a == seg_min[np.searchsorted(seg_ids, seg)]
+                    is_min = ln_a == seg_min[pos_of_seg]
                     # first argmin per segment
                     cand = np.flatnonzero(is_min)
                     first = cand[

@@ -332,6 +332,7 @@ def gram_matrix(
     *,
     fp_bits: int = 20,
     group_col: str | None = None,
+    map_groups_budget: int = 4096,
 ) -> DataFrame:
     """Fixed-point Gram matrix of an embedding column: the d x d second-
     moment statistic G[i,j] = sum_rows e_i * e_j behind PCA whitening,
@@ -380,6 +381,23 @@ def gram_matrix(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         accs: dict[str | None, np.ndarray] = {}
         dim = None
+
+        def _emit() -> Iterator[pa.RecordBatch]:
+            # flush the live accumulators as partial rows; the downstream
+            # map-side-combined groupBy sums partials, so flushing at any
+            # granularity is result-free (order-free integer sums)
+            iu, ju = np.triu_indices(dim)
+            for g, acc in accs.items():
+                cols = {
+                    "d1": pa.array((iu + 1).astype(np.int32)),
+                    "d2": pa.array((ju + 1).astype(np.int32)),
+                    "gram_fp": pa.array(acc[iu, ju]),
+                }
+                if group_col is not None:
+                    cols = {"__grp": pa.array([g] * len(iu)), **cols}
+                yield pa.RecordBatch.from_pydict(cols)
+            accs.clear()
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -399,18 +417,13 @@ def gram_matrix(
                 for i in range(dim):
                     prod = sub[:, i : i + 1] * sub[:, i:]  # (n_g, dim-i)
                     acc[i, i:] += np.floor(prod * scale).astype(np.int64).sum(axis=0)
-        if not accs:
-            return
-        iu, ju = np.triu_indices(dim)
-        for g, acc in accs.items():
-            cols = {
-                "d1": pa.array((iu + 1).astype(np.int32)),
-                "d2": pa.array((ju + 1).astype(np.int32)),
-                "gram_fp": pa.array(acc[iu, ju]),
-            }
-            if group_col is not None:
-                cols = {"__grp": pa.array([g] * len(iu)), **cols}
-            yield pa.RecordBatch.from_pydict(cols)
+            if len(accs) > map_groups_budget:
+                # per-task memory stays bounded for high-cardinality
+                # group_col (d x d int64 per live group): flush and reset —
+                # the quantiles _grouped_build_fn budget pattern
+                yield from _emit()
+        if accs:
+            yield from _emit()
 
     partials = src.mapInArrow(fn, out_schema)
     keys = (["__grp"] if group_col is not None else []) + ["d1", "d2"]

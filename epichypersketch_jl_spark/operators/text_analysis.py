@@ -332,6 +332,7 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_join_key: bool = True,
 ) -> DataFrame:
     """Train/eval contamination check — for each eval doc, how many of its
     distinct word n-grams appear ANYWHERE in the training corpus.  The
@@ -344,19 +345,28 @@ def ngram_contamination(
     n-gram set (shuffle bounded by distinct n-grams, never rows), the
     eval side explodes to (doc, n-gram) rows, one left join marks hits,
     one map-side-combined aggregate counts.  Each intermediate has
-    exactly one consumer (the lesson of the LSH candidate plan).  At
-    100 TB swap the join key to xxhash64(n-gram) to shuffle 8-byte keys
-    instead of strings — same counts up to a ~2^-64 collision."""
+    exactly one consumer (the lesson of the LSH candidate plan).
+
+    With hash_join_key (default), both sides project the shingle to
+    xxhash64 BEFORE the exchange, so the distinct + join shuffle ships
+    8-byte keys instead of n-word strings — the difference between a
+    tractable and an oversized exchange on a web corpus.  Counts are
+    collision-equivalent (~2^-64 per colliding pair); hash_join_key=False
+    keeps raw-string keys for audit."""
     from .dedup import word_shingles
 
+    key = (lambda c: F.xxhash64(c)) if hash_join_key else (lambda c: F.col(c))
     tr = (
         word_shingles(train_df.select(text_col), text_col, n)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode("shingles").alias("__s0"))
+        .select(key("__s0").alias("s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ev = word_shingles(eval_df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s")
+    ev = (
+        word_shingles(eval_df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("__s0"))
+        .select(id_col, key("__s0").alias("s"))
     )
     return (
         ev.join(tr, "s", "left")

@@ -1319,6 +1319,33 @@ class TestKmvBloomAndGram:
             got = int(a[(a.d1 == d1) & (a.d2 == d2)].gram_fp.iloc[0])
             assert got == exact, (d1, d2, got, exact)
 
+    def test_gram_matrix_grouped_budget_flush_identical(self, spark):
+        """High-cardinality group_col with a tiny map_groups_budget (forces
+        many mid-task flushes) must reproduce the unbudgeted result exactly
+        — partials sum downstream, so per-task memory stays bounded at
+        budget * d^2 accumulator cells regardless of group count."""
+        import numpy as np
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.similarity import gram_matrix
+
+        rng = np.random.default_rng(17)
+        n = 50_000
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n),
+                "grp": (np.arange(n) % 12_500).astype(str),  # 12.5k groups
+                "embedding": rng.standard_normal((n, 4)).astype(np.float32).tolist(),
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(4)
+        wide = gram_matrix(df, "embedding", group_col="grp").toPandas()
+        tight = gram_matrix(
+            df, "embedding", group_col="grp", map_groups_budget=32
+        ).toPandas()
+        assert len(wide) == 12_500 * 10  # d=4 -> 10 upper-triangle entries
+        assert (wide.values == tight.values).all()
+
 
 class TestRepetitionAndContamination:
     def test_repetition_score_known_values(self, spark):
@@ -1370,6 +1397,16 @@ class TestRepetitionAndContamination:
         assert (out[10].n_distinct_ngrams, out[10].n_contaminated) == (3, 2)
         assert out[10].contamination_x1000 == 666
         assert (out[11].n_contaminated, out[11].contamination_x1000) == (0, 0)
+        # hashed (default) and raw-string join keys agree, and the hashed
+        # plan's exchange carries an 8-byte xxhash64 key, not the shingle
+        raw = {
+            r.doc_id: r
+            for r in ngram_contamination(train, ev, hash_join_key=False).collect()
+        }
+        for d in (10, 11):
+            assert tuple(out[d]) == tuple(raw[d])
+        plan = ngram_contamination(train, ev)._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan
 
 
 class TestWeightedMinHash:
@@ -1425,13 +1462,23 @@ class TestWeightedMinHash:
 
         pdf = pd.DataFrame(
             {
-                "doc_id": [1, 2, 3],
-                "items": [[5, 9, 11], [5, 9, 11], []],
-                "weights": [[2.0, 1.0, 4.0], [2.0, 1.0, 4.0], []],
+                "doc_id": [1, 2, 3, 4],
+                "items": [[5, 9, 11], [5, 9, 11], [], [7]],
+                "weights": [[2.0, 1.0, 4.0], [2.0, 1.0, 4.0], [], [0.0]],
             }
         )
         sig = weighted_minhash_signatures(
             spark.createDataFrame(pdf), num_hashes=32, seed=3
         ).toPandas().set_index("doc_id")
         assert (np.array(sig.loc[1].wsig) == np.array(sig.loc[2].wsig)).all()
-        assert (np.array(sig.loc[3].wsig) == np.iinfo(np.int64).min).all()
+        # empty / zero-weight rows get per-row SALTED sentinels: two empty
+        # bags must not match each other (or any real row) in any slot —
+        # all-sentinel signatures scored as perfect pairs before
+        s3, s4 = np.array(sig.loc[3].wsig), np.array(sig.loc[4].wsig)
+        assert (s3 != s4).all()
+        assert (s3 != np.array(sig.loc[1].wsig)).all()
+        # and the salt is deterministic (keyed on xxhash64(doc_id), slot)
+        sig2 = weighted_minhash_signatures(
+            spark.createDataFrame(pdf), num_hashes=32, seed=3
+        ).toPandas().set_index("doc_id")
+        assert (np.array(sig2.loc[3].wsig) == s3).all()
