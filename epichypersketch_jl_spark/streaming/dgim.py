@@ -37,16 +37,27 @@ MAX_PER_SIZE = 2
 
 def dgim_insert(buckets: list[list[int]], t: int) -> None:
     """Append one event at time t and cascade the two-per-size merges.
-    `buckets` is oldest-first [[end_ts, size], ...]; merging two oldest
-    same-size buckets keeps the NEWER end timestamp (the bucket's newest
-    member)."""
+    `buckets` is oldest-first [[end_ts, size], ...]; merging the two
+    oldest same-size buckets keeps the NEWER end timestamp (the bucket's
+    newest member).
+
+    "Oldest" is decided by END-TIMESTAMP, not list position: a late
+    cross-batch event is appended at the tail, so positional selection
+    would merge the wrong pair (e.g. state [[500,2],[900,1],[1000,1]] +
+    late t=600 must merge 600 with 900, not 900 with 1000) and break the
+    size-monotone invariant the <= 50% bound and the oldest-bucket
+    half-count rely on.  For in-order streams the two selections are
+    identical."""
     buckets.append([t, 1])
     s = 1
     while True:
-        idxs = [i for i, b in enumerate(buckets) if b[1] == s]
+        idxs = sorted(
+            (i for i, b in enumerate(buckets) if b[1] == s),
+            key=lambda i: buckets[i][0],
+        )
         if len(idxs) <= MAX_PER_SIZE:
             return
-        i0, i1 = idxs[0], idxs[1]  # two oldest of this size
+        i0, i1 = idxs[0], idxs[1]  # two oldest of this size by end-ts
         buckets[i1] = [buckets[i1][0], 2 * s]
         del buckets[i0]
         s *= 2

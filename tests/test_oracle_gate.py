@@ -58,8 +58,10 @@ def test_oracle_parity(name: str, spark, duck):
     spark_pdf = fn(spark, SF_DIR).toPandas()
     if sql is None:
         # rows-only check, mirroring the driver's weaker gate for
-        # non-SQL-expressible operators
-        assert len(spark_pdf) >= 0
+        # non-SQL-expressible operators; an empty frame is a regression,
+        # not a pass (every current query has oracle SQL, so this branch
+        # only guards future additions)
+        assert len(spark_pdf) > 0, f"{name}: empty frame under the rows-only gate"
         return
     duck_pdf = duck.execute(sql).fetchdf()
     assert len(spark_pdf) == len(duck_pdf), (

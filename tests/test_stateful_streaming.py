@@ -202,3 +202,46 @@ class TestDgimBucketAlgebra:
         b: list[list[int]] = []
         dgim_insert(b, 100)
         assert b == [[100, 1]] and dgim_estimate(b) == 1
+
+    def test_late_cross_batch_event_merges_oldest_by_timestamp(self):
+        """A late event appended to existing state must merge with the
+        oldest same-size bucket BY END-TIMESTAMP, not by list position:
+        state [[500,2],[900,1],[1000,1]] + late t=600 -> the two oldest
+        size-1 buckets are 600 and 900 (merged, keeping 900), leaving the
+        size-monotone oldest-first layout the half-count relies on."""
+        from epichypersketch_jl_spark.streaming.dgim import dgim_insert
+
+        buckets = [[500, 2], [900, 1], [1000, 1]]
+        dgim_insert(buckets, 600)
+        buckets.sort(key=lambda b: b[0])  # the operator's post-insert sort
+        assert buckets == [[500, 2], [900, 2], [1000, 1]]
+        # size-monotone oldest-first: no smaller bucket older than a larger one
+        sizes = [s for _t, s in buckets]
+        assert sizes == sorted(sizes, reverse=True) or sizes == [2, 2, 1]
+
+    def test_in_order_streams_unchanged_by_ts_selection(self):
+        """For in-order inserts the end-ts selection is identical to the
+        positional selection — pinned so the streaming oracle output
+        cannot shift for ordered data."""
+        from epichypersketch_jl_spark.streaming.dgim import dgim_insert
+
+        a: list[list[int]] = []
+        for t in range(1, 200):
+            dgim_insert(a, t)
+        # reference: positional selection on the same in-order stream
+        def insert_positional(buckets, t):
+            buckets.append([t, 1])
+            s = 1
+            while True:
+                idxs = [i for i, b in enumerate(buckets) if b[1] == s]
+                if len(idxs) <= 2:
+                    return
+                i0, i1 = idxs[0], idxs[1]
+                buckets[i1] = [buckets[i1][0], 2 * s]
+                del buckets[i0]
+                s *= 2
+
+        b: list[list[int]] = []
+        for t in range(1, 200):
+            insert_positional(b, t)
+        assert a == b
