@@ -38,7 +38,14 @@ def _seq(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     the whole build kernel.  Repartition only if the scan under-splits."""
     df = tokenized_sequences(spark, sf_dir, **kw)
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(p, 8):
+    # the split count of a materialized cache is stable within a session;
+    # the .rdd conversion probing it costs ~0.1 s per call — memoize it
+    memo = spark.__dict__.setdefault("_ehs_nparts_memo", {})
+    key = (sf_dir, tuple(sorted(kw.items())))
+    n = memo.get(key)
+    if n is None:
+        n = memo[key] = df.rdd.getNumPartitions()
+    if n < min(p, 8):
         df = df.repartition(p)
     return df
 

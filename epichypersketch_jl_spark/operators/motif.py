@@ -206,12 +206,181 @@ def enriched_configurations(
     return prepared.mapInArrow(extract_fn, schema)
 
 
+#: per-task byte cap for piggybacked fold partials (keys + occurrence
+#: counts) on the fused single-scan summary path; a task whose folded key
+#: set serializes past this reports no partial and the query falls back to
+#: the classic second aggregation pass.  Bounds driver fan-in bytes at
+#:   min(#tasks, collect_threshold) * cap.
+FUSED_PARTIAL_MAX_BYTES = 2 << 20
+
+
+def _fused_summary_collect(
+    prepared: DataFrame, cfg: HyperSketchConfig
+) -> tuple[CountMinSketch, list | None]:
+    """One scan that builds the per-task CMS blobs AND piggybacks each
+    task's folded (unique key, occurrence count) partials when the
+    multiset-counting path is active and the partial is small.
+
+    Returns (merged sketch, partial rows | None); None when any task
+    could not supply partials (enumeration fallback engaged, or the
+    partial exceeded FUSED_PARTIAL_MAX_BYTES) — the caller then runs the
+    classic second pass against the merged sketch, so the fallback costs
+    exactly what the unfused plan costs.
+    """
+    import struct as _struct
+
+    from ..functions.motif_kernels import multiset_fold, _value_bound, _fold_keys
+    from .sketch_build import _BLOB_ARROW_SCHEMA
+
+    k = cfg.motif_size
+    tok_col = cfg.tokens_col
+    fused_arrow_schema = pa.schema(
+        list(_BLOB_ARROW_SCHEMA) + [("partial", pa.binary())]
+    )
+    from pyspark.sql.types import BinaryType
+
+    fused_schema = StructType(
+        [
+            StructField("part_id", IntegerType(), False),
+            StructField("sketch", BinaryType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_tokens", LongType(), False),
+            StructField("n_updates", LongType(), False),
+            StructField("wall_ms", DoubleType(), False),
+            StructField("partial", BinaryType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time as _time
+
+        from pyspark import TaskContext
+
+        t0 = _time.monotonic()
+        sk = make_cms(cfg, False)
+        n_rows = n_tokens = 0
+        acc_k: list[np.ndarray] = []
+        acc_o: list[np.ndarray] = []
+        fold_ok = True
+        for batch in batches:
+            tok_flat, offsets = list_column_to_numpy(batch.column(tok_col))
+            vb = _value_bound(tok_flat, None)
+            folded = multiset_fold(tok_flat, offsets, k, vb)
+            if folded is None:
+                # enumeration fallback for this batch: still build the
+                # sketch (identical table), but no cheap partials
+                build_batch(sk, tok_flat, offsets, cfg)
+                fold_ok = False
+            else:
+                fk, fc = folded
+                sk.update_batch(fk, fc, vmax=vb)
+                if fold_ok:
+                    acc_k.append(fk)
+                    acc_o.append(fc)
+            n_rows += batch.num_rows
+            n_tokens += len(tok_flat)
+        partial = None
+        if fold_ok and acc_k:
+            keys = np.concatenate(acc_k)
+            occ = np.concatenate(acc_o)
+            ukeys, uocc, _ = _fold_keys(keys, k, occ_weights=occ)
+            blob = _struct.pack("<qi", len(uocc), k) + np.ascontiguousarray(
+                ukeys, dtype=np.int64
+            ).tobytes() + uocc.tobytes()
+            if len(blob) <= FUSED_PARTIAL_MAX_BYTES:
+                partial = blob
+        elif fold_ok:
+            partial = _struct.pack("<qi", 0, k)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "part_id": [pid],
+                "sketch": [sk.to_bytes()],
+                "n_rows": [n_rows],
+                "n_tokens": [n_tokens],
+                "n_updates": [sk.n_updates],
+                "wall_ms": [(_time.monotonic() - t0) * 1000.0],
+                "partial": [partial],
+            },
+            schema=fused_arrow_schema,
+        )
+
+    rows = prepared.mapInArrow(fn, fused_schema).collect()
+    from ..sketches.base import from_bytes as _fb
+
+    if not rows:
+        return make_cms(cfg, False), []
+    sk = _fb(bytes(rows[0].sketch))
+    sk.merge_blobs_inplace(bytes(r.sketch) for r in rows[1:])
+    partials = [r.partial for r in rows]
+    if any(p is None for p in partials):
+        return sk, None
+    return sk, [bytes(p) for p in partials]
+
+
+def _fused_summary_result(
+    df: DataFrame,
+    cfg: HyperSketchConfig,
+    cms: CountMinSketch,
+    partials: list,
+) -> DataFrame:
+    """Driver-side finish of the fused plan: fold the per-task partials
+    (a few thousand keys), attach the merged-sketch estimates, filter by
+    min_count, and return the same schema/order as the classic plan."""
+    import struct as _struct
+
+    from ..functions.motif_kernels import _fold_keys
+
+    k = cfg.motif_size
+    hsz = _struct.calcsize("<qi")
+    kparts, oparts = [], []
+    for blob in partials:
+        n, kk = _struct.unpack("<qi", blob[:hsz])
+        if kk != k:
+            raise ValueError(f"partial key width {kk} != {k}")
+        if n:
+            kparts.append(
+                np.frombuffer(blob, dtype=np.int64, count=n * k, offset=hsz).reshape(n, k)
+            )
+            oparts.append(
+                np.frombuffer(blob, dtype=np.int64, count=n, offset=hsz + n * k * 8)
+            )
+    spark = df.sparkSession
+    tok_field = df.schema[cfg.tokens_col].dataType.elementType
+    fields = [StructField(f"m{i+1}", tok_field, False) for i in range(k)]
+    fields += [
+        StructField("count", LongType(), False),
+        StructField("n_occurrences", LongType(), False),
+        StructField("total_contribution", DoubleType(), False),
+    ]
+    schema = StructType(fields)
+    if kparts:
+        ukeys, uocc, _ = _fold_keys(
+            np.concatenate(kparts), k, occ_weights=np.concatenate(oparts)
+        )
+        est = cms.estimate(ukeys)
+        m = est >= cfg.min_count
+        ukeys, uocc, est = ukeys[m], uocc[m], est[m]
+    else:
+        ukeys = np.empty((0, k), np.int64)
+        uocc = est = np.empty(0, np.int64)
+    data = [
+        tuple(int(v) for v in key) + (int(e), int(o), float(o) * float(k))
+        for key, e, o in zip(ukeys, est, uocc)
+    ]
+    out = spark.createDataFrame(data, schema=schema)
+    keys = [f"m{i+1}" for i in range(k)]
+    return out.orderBy(F.desc("count"), *keys)
+
+
 def motif_counts(
     df: DataFrame,
     cfg: HyperSketchConfig,
     *,
     cms: CountMinSketch | None = None,
     validate: bool = False,
+    fused: bool = True,
 ) -> DataFrame:
     """Aggregated extraction with map-side combine.
 
@@ -229,6 +398,30 @@ def motif_counts(
 
     conv = _is_conv(df, cfg)
     cfg = planned_config(df, cfg, conv)
+    if (
+        fused
+        and cms is None
+        and not conv
+        and not cfg.conservative
+        and cfg.motif_size <= 3  # multiset_fold's reach; k>3 never folds
+        and cfg.weights_col not in df.columns
+    ):
+        # fused single-scan plan: the build pass piggybacks each task's
+        # folded (key, occurrence) partials when the multiset-counting
+        # path is active, so the second data pass disappears — the driver
+        # finishes the aggregation over a few thousand folded rows.
+        # Results are identical to the two-pass plan (pytest-pinned);
+        # tasks that fall back to enumeration (large alphabet) or exceed
+        # the partial byte cap degrade gracefully to the classic second
+        # pass against the already-merged sketch.
+        prepared = _prepared(df, cfg, conv=False, with_weights=False)
+        # the fused path collects one (blob, partial) row per task; beyond
+        # the classic collect threshold the blobs go through treeReduce
+        # instead, so keep the fused plan to the same fan-in regime
+        if prepared.rdd.getNumPartitions() <= 256:
+            cms, partials = _fused_summary_collect(prepared, cfg)
+            if partials is not None:
+                return _fused_summary_result(df, cfg, cms, partials)
     if cms is None:
         cms, _ = build_motif_cms(df, cfg)
     spark = df.sparkSession

@@ -428,11 +428,20 @@ def tokenized_sequences(
         return documents_sequences(spark, sf_dir, with_positions=with_positions)
     if not _cache_complete(path):
         _build_token_cache(spark, sf_dir, path, strategy)
-    out = spark.read.parquet(os.path.join(path, "sequences"))
+    # Memoize the LAZY scan DataFrame per session: constructing the reader
+    # costs ~0.1 s of listing/schema py4j round trips per call, repeated by
+    # every query.  Safe because `path` embeds the dataset fingerprint
+    # (mtime+size) and the cache is write-once-then-rename: the same path
+    # can never serve different bytes.  Nothing is computed or persisted —
+    # every action on the returned frame still scans the parquet.
+    memo = spark.__dict__.setdefault("_ehs_tok_df_memo", {})
+    df = memo.get(path)
+    if df is None:
+        df = memo[path] = spark.read.parquet(os.path.join(path, "sequences"))
     cols = ["doc_id", "tokens", "n_tok", "source"]
     if with_positions:
         cols.insert(3, "positions")
-    return out.select(*cols)
+    return df.select(*cols)
 
 
 def read_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

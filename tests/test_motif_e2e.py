@@ -132,3 +132,22 @@ class TestConvolutionE2E:
         cfg = HyperSketchConfig(motif_size=2, min_count=1, filter_len=8, seed=1)
         occ = enriched_configurations(df, cfg)
         assert occ.count() == 0
+
+
+class TestFusedSummaryPlan:
+    def test_fused_equals_classic_two_pass(self, corpus_df):
+        """The fused single-scan summary plan (build pass piggybacks folded
+        partials; driver finishes the aggregation) must reproduce the
+        classic two-pass plan bit-for-bit, schema included."""
+        from epichypersketch_jl_spark.operators.motif import motif_counts
+
+        for k, mc in [(1, 4), (2, 8), (3, 2)]:
+            cfg = HyperSketchConfig(motif_size=k, min_count=mc, seed=42)
+            a = motif_counts(corpus_df, cfg).toPandas()
+            b = motif_counts(corpus_df, cfg, fused=False).toPandas()
+            assert list(a.columns) == list(b.columns)
+            assert list(a.dtypes) == list(b.dtypes), (a.dtypes, b.dtypes)
+            cols = list(a.columns)
+            sa = a.sort_values(cols).reset_index(drop=True)
+            sb = b.sort_values(cols).reset_index(drop=True)
+            assert sa.equals(sb), f"k={k}: fused != classic"

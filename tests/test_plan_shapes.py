@@ -63,10 +63,22 @@ class TestPlanShapes:
         cfg = HyperSketchConfig(motif_size=2, min_count=2, seed=1)
         out = motif_counts(seq, cfg)
         plan = _plan(out)
-        assert plan.count("Exchange") <= 2, plan
-        assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
-        # no shuffle below the kernel: the kernel's subtree is scan-only
-        kernel_sub = plan[plan.find("MapInArrow"):]
+        if "MapInArrow" not in plan and "PythonMapInArrow" not in plan:
+            # fused single-scan plan: the aggregation finished driver-side
+            # over the build pass's folded partials — the remaining plan is
+            # a local result + the ordering sort, at most one Exchange
+            assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+            assert plan.count("Exchange") <= 1, plan
+        else:
+            assert plan.count("Exchange") <= 2, plan
+            kernel_sub = plan[plan.find("MapInArrow"):]
+            assert "Exchange" not in kernel_sub, kernel_sub
+        # the classic two-pass shape keeps its pinned form: kernel below
+        # the only shuffles
+        plan2 = _plan(motif_counts(seq, cfg, fused=False))
+        assert plan2.count("Exchange") <= 2, plan2
+        assert "MapInArrow" in plan2 or "PythonMapInArrow" in plan2, plan2
+        kernel_sub = plan2[plan2.find("MapInArrow"):]
         assert "Exchange" not in kernel_sub, kernel_sub
 
     def test_bloom_semijoin_has_no_join(self, spark, sf_dir):
