@@ -485,7 +485,10 @@ def minhash_signatures(
 
 
 def _bucket_pair_join(
-    banded: DataFrame, id_col: str, hot_bucket_docs: int | None
+    banded: DataFrame,
+    id_col: str,
+    hot_bucket_docs: int | None,
+    _dedupe: bool = True,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs of docs sharing a bucket key `bh`
     (one 64-bit long; the band index is already folded into the hash),
@@ -559,8 +562,17 @@ def _bucket_pair_join(
             _block("__j").alias("ids_b"),
         )
         # spread a hot bucket's cells over tasks; cell rows are few and
-        # slice-sized, so this shuffle is output-bound, not corpus-bound
-        .repartition(F.col("bh"), F.col("__i"), F.col("__j"))
+        # slice-sized, so this shuffle is output-bound, not corpus-bound.
+        # The partition count MUST be pinned: the exchange sees only the
+        # tiny pre-explosion cell rows, so AQE would coalesce it to one
+        # partition and re-serialize the very expansion the cells exist to
+        # spread (measured: blocked == single-task until pinned).
+        .repartition(
+            banded.sparkSession.sparkContext.defaultParallelism,
+            F.col("bh"),
+            F.col("__i"),
+            F.col("__j"),
+        )
     )
     diag_pairs = F.flatten(
         F.transform(
@@ -587,7 +599,9 @@ def _bucket_pair_join(
             F.when(F.col("__i") == F.col("__j"), diag_pairs).otherwise(cross_pairs)
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    return pairs.distinct()
+    # _dedupe=False is a measurement hook (bench_extra.py): it exposes the
+    # expansion stage alone, without the multi-bucket distinct
+    return pairs.distinct() if _dedupe else pairs
 
 
 def minhash_lsh_pairs(
