@@ -365,11 +365,17 @@ def _fused_summary_result(
     else:
         ukeys = np.empty((0, k), np.int64)
         uocc = est = np.empty(0, np.int64)
-    data = [
-        tuple(int(v) for v in key) + (int(e), int(o), float(o) * float(k))
-        for key, e, o in zip(ukeys, est, uocc)
-    ]
-    out = spark.createDataFrame(data, schema=schema)
+    import pandas as pd
+
+    tok_np = {"integer": np.int32, "long": np.int64, "short": np.int16}.get(
+        tok_field.typeName(), np.int64
+    )
+    cols = {f"m{i+1}": ukeys[:, i].astype(tok_np) for i in range(k)}
+    cols["count"] = est.astype(np.int64)
+    cols["n_occurrences"] = uocc.astype(np.int64)
+    cols["total_contribution"] = uocc.astype(np.float64) * float(k)
+    # pandas + Arrow conversion: columnar, no per-row pickling
+    out = spark.createDataFrame(pd.DataFrame(cols), schema=schema)
     keys = [f"m{i+1}" for i in range(k)]
     return out.orderBy(F.desc("count"), *keys)
 
