@@ -184,7 +184,7 @@ class BuildStats:
 # matmul flops would not undercut the enumeration cells, callers fall back to
 # the enumeration path — results are identical either way (pytest-pinned).
 
-_MS_MAX_V = {1: 1 << 22, 2: 1024, 3: 256}
+_MS_MAX_V = {1: 1 << 22, 2: 1024, 3: 256, 4: 64}
 _MS_BLOCK_CELLS = 4 << 20  # rows x pair-block float64 cells per matmul slice
 _MS_BLAS_ADVANTAGE = 8  # matmul flops are ~this much cheaper than gather cells
 _MS_EXACT_CAP = float(1 << 52)  # float64 integer-exactness guard
@@ -198,7 +198,7 @@ def multiset_fold(
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Exact (unique sorted k-motif keys, occurrence counts) for one batch
     without enumerating position subsets, or None when ineligible (large
-    alphabet, k > 3, counting not cheaper, or exactness cap exceeded).
+    alphabet, k > 4, counting not cheaper, or exactness cap exceeded).
 
     Equivalent by construction to enumerating every per-row k-combination,
     sorting each, and folding duplicates — the identity the enumeration
@@ -223,8 +223,13 @@ def multiset_fold(
     total_combs = float(_binom_vec(lengths, k).sum())
     if total_combs >= _MS_EXACT_CAP:
         return None
+    npairs = V * (V - 1) // 2
     if k > 1:
-        flops = float(n_rows) * (float(V) ** k) / (2.0 if k == 3 else 1.0)
+        flops = float(n_rows) * {
+            2: float(V) ** 2,
+            3: float(V) ** 3 / 2.0,
+            4: float(npairs) ** 2,
+        }[k]
         if flops >= _MS_BLAS_ADVANTAGE * total_combs * k:
             return None
 
@@ -233,14 +238,19 @@ def multiset_fold(
         nz = np.flatnonzero(cnt)
         return nz[:, None].astype(np.int64), cnt[nz].astype(np.int64)
 
-    # per-row token counts, rows chunked so the count matrix stays bounded
-    rows_per = max(1, _MS_BLOCK_CELLS // V)
-    iu, ju = (np.triu_indices(V, 1) if k == 3 else (None, None))
+    # per-row token counts, rows chunked so count/pair matrices stay bounded
+    rows_per = max(1, _MS_BLOCK_CELLS // (npairs if k == 4 else V))
+    iu, ju = (np.triu_indices(V, 1) if k >= 3 else (None, None))
     acc2 = np.zeros((V, V)) if k == 2 else None  # sum_d n_a n_b
     acc_eq2 = np.zeros(V) if k == 2 else None  # sum_d C(n_a, 2)
-    acc3 = np.zeros((len(iu), V)) if k == 3 else None  # sum_d n_a n_b n_c (a<b)
+    acc3 = np.zeros((npairs, V)) if k == 3 else None  # sum_d n_a n_b n_c (a<b)
     acc21 = np.zeros((V, V)) if k == 3 else None  # sum_d C(n_t2,2) n_t1
     acc_eq3 = np.zeros(V) if k == 3 else None  # sum_d C(n_a, 3)
+    acc4 = np.zeros((npairs, npairs)) if k == 4 else None  # Σ P_ab P_cd
+    acc211 = np.zeros((V, npairs)) if k == 4 else None  # Σ C(n_t,2) P_xy
+    acc22 = np.zeros((V, V)) if k == 4 else None  # Σ C(n_a,2) C(n_b,2)
+    acc31 = np.zeros((V, V)) if k == 4 else None  # Σ C(n_t,3) n_x
+    acc_eq4 = np.zeros(V) if k == 4 else None  # Σ C(n_a, 4)
     pair_block = max(1, _MS_BLOCK_CELLS // max(rows_per, 1))
     for s in range(0, n_rows, rows_per):
         e = min(s + rows_per, n_rows)
@@ -254,14 +264,23 @@ def multiset_fold(
         if k == 2:
             acc2 += N.T @ N
             acc_eq2 += (N * (N - 1.0)).sum(axis=0) * 0.5
-        else:
+        elif k == 3:
             F2 = N * (N - 1.0) * 0.5
             acc21 += F2.T @ N
             acc_eq3 += (F2 * (N - 2.0)).sum(axis=0) / 3.0
-            for ps in range(0, len(iu), pair_block):
-                pe = min(ps + pair_block, len(iu))
+            for ps in range(0, npairs, pair_block):
+                pe = min(ps + pair_block, npairs)
                 P = N[:, iu[ps:pe]] * N[:, ju[ps:pe]]
                 acc3[ps:pe] += P.T @ N
+        else:
+            P = N[:, iu] * N[:, ju]  # (rows, npairs); rows_per bounds it
+            acc4 += P.T @ P
+            F2 = N * (N - 1.0) * 0.5
+            F3 = F2 * (N - 2.0) / 3.0
+            acc211 += F2.T @ P
+            acc22 += F2.T @ F2
+            acc31 += F3.T @ N
+            acc_eq4 += (F3 * (N - 3.0)).sum(axis=0) * 0.25
 
     keys_list: list[np.ndarray] = []
     cnt_list: list[np.ndarray] = []
@@ -272,19 +291,17 @@ def multiset_fold(
             keys_list.append(keys[nz])
             cnt_list.append(np.rint(cnt[nz]).astype(np.int64))
 
+    d = np.arange(V, dtype=np.int64)
     if k == 2:
         a, b = np.triu_indices(V, 1)
         _emit(np.stack([a, b], axis=1).astype(np.int64), acc2[a, b])
-        d = np.arange(V, dtype=np.int64)
         _emit(np.stack([d, d], axis=1), acc_eq2)
-    else:
+    elif k == 3:
         # distinct a<b<c: entries of acc3[(a,b), c] with c > b
-        pa, pb = iu, ju
-        cmask = np.arange(V)[None, :] > pb[:, None]
-        pi, ci = np.nonzero(cmask & (acc3 > 0))
+        pi, ci = np.nonzero((np.arange(V)[None, :] > ju[:, None]) & (acc3 > 0))
         if pi.size:
             keys_list.append(
-                np.stack([pa[pi], pb[pi], ci], axis=1).astype(np.int64)
+                np.stack([iu[pi], ju[pi], ci], axis=1).astype(np.int64)
             )
             cnt_list.append(np.rint(acc3[pi, ci]).astype(np.int64))
         # one token doubled (t2) + one single (t1 != t2), sorted placement
@@ -299,8 +316,49 @@ def multiset_fold(
             ).astype(np.int64)
             keys_list.append(keys)
             cnt_list.append(np.rint(acc21[t2, t1]).astype(np.int64))
-        d = np.arange(V, dtype=np.int64)
         _emit(np.stack([d, d, d], axis=1), acc_eq3)
+    else:
+        # distinct a<b<c<d: acc4[(a,b),(c,d)] with b < c splits each 4-set
+        # into its first and second pair exactly once
+        p1, p2 = np.nonzero((ju[:, None] < iu[None, :]) & (acc4 > 0))
+        if p1.size:
+            keys_list.append(
+                np.stack([iu[p1], ju[p1], iu[p2], ju[p2]], axis=1).astype(np.int64)
+            )
+            cnt_list.append(np.rint(acc4[p1, p2]).astype(np.int64))
+        # doubled t + distinct singles x<y (t not in {x,y}); t2 fills 2 slots
+        t, pxy = np.nonzero(acc211 > 0)
+        x, y = iu[pxy], ju[pxy]
+        keep = (t != x) & (t != y)
+        t, x, y, pxy = t[keep], x[keep], y[keep], pxy[keep]
+        if t.size:
+            keys = np.where(
+                (t < x)[:, None],
+                np.stack([t, t, x, y], axis=1),
+                np.where(
+                    (t < y)[:, None],
+                    np.stack([x, t, t, y], axis=1),
+                    np.stack([x, y, t, t], axis=1),
+                ),
+            ).astype(np.int64)
+            keys_list.append(keys)
+            cnt_list.append(np.rint(acc211[t, pxy]).astype(np.int64))
+        # two doubled tokens a<b
+        a, b = np.triu_indices(V, 1)
+        _emit(np.stack([a, a, b, b], axis=1).astype(np.int64), acc22[a, b])
+        # tripled t + single x != t
+        t3, x1 = np.nonzero(acc31 > 0)
+        off_diag = t3 != x1
+        t3, x1 = t3[off_diag], x1[off_diag]
+        if t3.size:
+            keys = np.where(
+                (x1 < t3)[:, None],
+                np.stack([x1, t3, t3, t3], axis=1),
+                np.stack([t3, t3, t3, x1], axis=1),
+            ).astype(np.int64)
+            keys_list.append(keys)
+            cnt_list.append(np.rint(acc31[t3, x1]).astype(np.int64))
+        _emit(np.stack([d, d, d, d], axis=1), acc_eq4)
 
     if not keys_list:
         return np.empty((0, k), np.int64), np.empty(0, np.int64)

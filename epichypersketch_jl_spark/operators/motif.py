@@ -432,7 +432,7 @@ def motif_counts(
         and cms is None
         and not conv
         and not cfg.conservative
-        and cfg.motif_size <= 3  # multiset_fold's reach; k>3 never folds
+        and cfg.motif_size <= 4  # multiset_fold's reach; k>4 never folds
         and cfg.weights_col not in df.columns
     ):
         # fused single-scan plan: the build pass piggybacks each task's

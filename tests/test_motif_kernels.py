@@ -367,16 +367,27 @@ class TestMultisetFold:
 
         from epichypersketch_jl_spark.functions.motif_kernels import multiset_fold
 
+        import epichypersketch_jl_spark.functions.motif_kernels as mk
+
         rng = np.random.default_rng(11)
-        for trial in range(25):
-            k = int(rng.integers(1, 4))
+        for trial in range(30):
+            k = int(rng.integers(1, 5))
             V = int(rng.integers(2, 12))
             n_rows = int(rng.integers(0, 18))
             lens = rng.integers(0, 14, size=n_rows)
             offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
             flat = rng.integers(0, V, size=int(lens.sum())).astype(np.int32)
             vmax = int(flat.max()) if len(flat) else 0
-            keys, cnt = multiset_fold(flat, offsets, k, vmax)
+            res = multiset_fold(flat, offsets, k, vmax)
+            if res is None:
+                # cost gate rejected (tiny batch, k=4): force-engage so the
+                # arithmetic itself is still exercised
+                adv, mk._MS_BLAS_ADVANTAGE = mk._MS_BLAS_ADVANTAGE, float("inf")
+                try:
+                    res = multiset_fold(flat, offsets, k, vmax)
+                finally:
+                    mk._MS_BLAS_ADVANTAGE = adv
+            keys, cnt = res
             ref = Counter()
             for i in range(n_rows):
                 toks = sorted(flat[offsets[i] : offsets[i + 1]])
@@ -401,7 +412,7 @@ class TestMultisetFold:
         lens = rng.integers(0, 40, size=200)
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         flat = rng.integers(1, 20, size=int(lens.sum())).astype(np.int32)
-        for k in (1, 2, 3):
+        for k in (1, 2, 3, 4):
             cfg = HyperSketchConfig(motif_size=k, min_count=2, seed=42)
             outs = []
             for disable in ("", "1"):
