@@ -100,7 +100,7 @@ def main() -> None:
         for label, cap in (("blocked", 512), ("single_task", None)):
             sc.setJobDescription(f"skew expansion: {label}")
             t0 = time.monotonic()
-            n = (
+            (
                 _bucket_pair_join(banded, "doc_id", cap, _dedupe=False)
                 .write.format("noop")
                 .mode("overwrite")

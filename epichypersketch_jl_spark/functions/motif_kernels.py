@@ -217,12 +217,17 @@ def multiset_fold(
     n_rows = len(lengths)
     if n_rows == 0 or tokens_flat.size == 0:
         return np.empty((0, k), np.int64), np.empty(0, np.int64)
-    # cost + exactness gate: enum cells vs matmul flops, total combos < 2^52
-    from .combinations import _binom_vec
+    # cost + exactness gate: enum cells vs matmul flops, total combos < 2^52.
+    # Computed with exact Python ints over the (few) unique lengths —
+    # _binom_vec wraps int64 for book-length rows, and a wrapped total
+    # could silently pass the gate.
+    from math import comb as _comb
 
-    total_combs = float(_binom_vec(lengths, k).sum())
-    if total_combs >= _MS_EXACT_CAP:
+    uls, ucnts = np.unique(lengths, return_counts=True)
+    total_int = sum(int(c) * _comb(int(L), k) for L, c in zip(uls, ucnts))
+    if total_int >= (1 << 52):
         return None
+    total_combs = float(total_int)
     npairs = V * (V - 1) // 2
     if k > 1:
         flops = float(n_rows) * {
@@ -239,7 +244,7 @@ def multiset_fold(
         return nz[:, None].astype(np.int64), cnt[nz].astype(np.int64)
 
     # per-row token counts, rows chunked so count/pair matrices stay bounded
-    rows_per = max(1, _MS_BLOCK_CELLS // (npairs if k == 4 else V))
+    rows_per = max(1, _MS_BLOCK_CELLS // max(npairs if k == 4 else V, 1))
     iu, ju = (np.triu_indices(V, 1) if k >= 3 else (None, None))
     acc2 = np.zeros((V, V)) if k == 2 else None  # sum_d n_a n_b
     acc_eq2 = np.zeros(V) if k == 2 else None  # sum_d C(n_a, 2)

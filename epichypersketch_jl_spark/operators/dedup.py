@@ -599,6 +599,9 @@ def _bucket_pair_join(
             F.when(F.col("__i") == F.col("__j"), diag_pairs).otherwise(cross_pairs)
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
+    # duplicate ids in a bucket would otherwise pair with themselves
+    # (least==greatest); the documented contract is strictly doc_a < doc_b
+    pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
     # _dedupe=False is a measurement hook (bench_extra.py): it exposes the
     # expansion stage alone, without the multi-bucket distinct
     return pairs.distinct() if _dedupe else pairs
@@ -788,16 +791,23 @@ def simhash_near_pairs(
             for i in range(n_bands)
         ]
     )
-    banded = sh.select(F.col(id_col), F.explode(band_structs).alias("bh"))
-    cand = _bucket_pair_join(banded, id_col, hot_bucket_docs)
-    ha = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
-    hb = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    # carry the 8-byte simhash THROUGH the bucket chain as part of the id
+    # struct: joining it back instead would give the sh subtree three
+    # consumers and Spark re-runs the full text scan + kernel per consumer
+    # (the one-consumer lesson of the LSH candidate plan).  Struct ids
+    # compare id-first, so pair ordering/dedup match plain ids.
+    banded = sh.select(
+        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h")).alias("__idh"),
+        F.explode(band_structs).alias("bh"),
+    )
+    cand = _bucket_pair_join(banded, "__idh", hot_bucket_docs)
     return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.select(
+            F.col("doc_a.i").alias("doc_a"),
+            F.col("doc_b.i").alias("doc_b"),
+            F.bit_count(F.col("doc_a.h").bitwiseXOR(F.col("doc_b.h"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -446,8 +446,16 @@ def motif_counts(
         prepared = _prepared(df, cfg, conv=False, with_weights=False)
         # the fused path collects one (blob, partial) row per task; beyond
         # the classic collect threshold the blobs go through treeReduce
-        # instead, so keep the fused plan to the same fan-in regime
-        if prepared.rdd.getNumPartitions() <= 256:
+        # instead, so keep the fused plan to the same fan-in regime.  The
+        # partition probe (.rdd conversion, ~0.1 s) is memoized per plan —
+        # the same session-level memo _seq uses.
+        spark = df.sparkSession
+        memo = spark.__dict__.setdefault("_ehs_nparts_memo", {})
+        pkey = ("prepared", prepared.semanticHash())
+        n_parts = memo.get(pkey)
+        if n_parts is None:
+            n_parts = memo[pkey] = prepared.rdd.getNumPartitions()
+        if n_parts <= 256:
             cms, partials = _fused_summary_collect(prepared, cfg)
             if partials is not None:
                 return _fused_summary_result(df, cfg, cms, partials)

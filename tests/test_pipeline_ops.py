@@ -1482,3 +1482,19 @@ class TestWeightedMinHash:
             spark.createDataFrame(pdf), num_hashes=32, seed=3
         ).toPandas().set_index("doc_id")
         assert (np.array(sig2.loc[3].wsig) == s3).all()
+
+
+class TestBucketPairJoinContract:
+    def test_duplicate_ids_never_self_pair(self, spark):
+        """_bucket_pair_join documents strictly doc_a < doc_b; duplicate
+        ids sharing a bucket must not emit (x, x) self-pairs."""
+        import pandas as pd
+
+        from epichypersketch_jl_spark.operators.dedup import _bucket_pair_join
+
+        pdf = pd.DataFrame({"doc_id": [5, 5, 7, 8], "bh": [1, 1, 1, 1]})
+        pairs = _bucket_pair_join(
+            spark.createDataFrame(pdf), "doc_id", 2
+        ).toPandas()
+        assert (pairs["doc_a"] < pairs["doc_b"]).all()
+        assert set(map(tuple, pairs.values.tolist())) == {(5, 7), (5, 8), (7, 8)}
