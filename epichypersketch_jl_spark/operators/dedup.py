@@ -574,31 +574,25 @@ def _bucket_pair_join(
             F.col("__j"),
         )
     )
-    diag_pairs = F.flatten(
-        F.transform(
-            "ids_a",
-            lambda x, i: F.transform(
-                F.slice("ids_a", i + F.lit(2), F.size("ids_a")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    # two-step streaming expansion: posexplode one side, then explode the
+    # partner slice per row.  The previous nested transform+flatten built
+    # the cell's ENTIRE pair array as one value before exploding it —
+    # Catalyst materializes that array per row, which measured ~25x slower
+    # (46-56 s vs 1.9 s for a 72M-pair flooded bucket) and risks
+    # per-row-allocation OOM on big cells.  Within a diagonal cell the ids
+    # are sorted, so x pairs with the strictly-later slice; cross cells
+    # order via least/greatest as before.
+    step1 = cells.select(
+        "__i", "__j", "ids_b", F.posexplode("ids_a").alias("__p", "__x")
     )
-    cross_pairs = F.flatten(
-        F.transform(
-            "ids_a",
-            lambda x: F.transform(
-                "ids_b",
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
+    partner = F.when(
+        F.col("__i") == F.col("__j"),
+        F.slice("ids_b", F.col("__p") + F.lit(2), F.size("ids_b")),
+    ).otherwise(F.col("ids_b"))
+    pairs = step1.select(F.col("__x"), F.explode(partner).alias("__y")).select(
+        F.least("__x", "__y").alias("doc_a"),
+        F.greatest("__x", "__y").alias("doc_b"),
     )
-    pairs = cells.select(
-        F.explode(
-            F.when(F.col("__i") == F.col("__j"), diag_pairs).otherwise(cross_pairs)
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
     # duplicate ids in a bucket would otherwise pair with themselves
     # (least==greatest); the documented contract is strictly doc_a < doc_b
     pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
